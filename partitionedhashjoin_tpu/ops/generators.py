@@ -1,0 +1,158 @@
+"""Device-side data generators: the engine's first kernels.
+
+TPU-native counterparts of src/DataGenerator/:
+
+- ``sequential_keys`` / ``sequential_table``: ids ``start, start+1, ...`` with
+  ``payload = row index`` (src/DataGenerator/Sequential.cpp:20-25).  On TPU
+  this is a single iota — the reference's per-thread batch loop
+  (Sequential.cpp:27-39) is replaced by lane parallelism.
+- ``zipf_keys`` / ``zipf_table``: Zipf(alpha)-distributed ids over a closed
+  range [lo, hi] via the same inverse-CDF-proposal rejection sampler as the
+  reference (src/DataGenerator/Zipf.cpp:14-56, after
+  jasoncrease's "Rejection sampling the Zipf distribution"), vectorized: every
+  output slot runs its own accept/reject chain, all slots retry in lockstep
+  until all have accepted.  Randomness is JAX's counter-based threefry instead
+  of the per-worker Park-Miller LCG (src/Common/Random.cpp:9-30) — stateful
+  sequential generators do not map to SPMD hardware; the distribution is
+  identical (equivalence validated in tests against the host LCG sampler).
+
+Both samplers share the reference's parameter conventions: the alpha~1 clamp
+(Zipf.cpp:22-26), the closed-range cardinality and ``lo - 1`` correction
+(Zipf.cpp:81-83), and ``payload = i`` (Zipf.cpp:48-49 analogue).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.data.table import Table, make_table
+
+_ERROR_DIFFERENTIAL = 0.01
+
+
+def _zipf_params(alpha: float, cardinality: int) -> Tuple[float, float, float]:
+    """Clamped (alpha, skew_differential, normalization) — Zipf.cpp:16-29."""
+    if alpha < 0.01:
+        raise ValueError("Skew parameter must be greater than 0.01.")
+    skew_differential = 1.001 - alpha
+    diff = 1.0 - alpha
+    if abs(diff) < _ERROR_DIFFERENTIAL:
+        skew_differential = _ERROR_DIFFERENTIAL * (1.0 if diff < 0 else -1.0)
+        alpha = 1.0 - skew_differential
+    normalization = (
+        math.pow(cardinality, skew_differential) - alpha
+    ) / skew_differential
+    return alpha, skew_differential, normalization
+
+
+def zipf_candidates(u1, u2, alpha: float, cardinality: int):
+    """One vectorized accept/reject round given uniforms in [0, 1).
+
+    Returns (samples int32 in [1, cardinality], accepted bool).  Pure jnp —
+    usable inside Pallas kernels with hardware PRNG uniforms.
+    """
+    alpha_c, sd, norm = _zipf_params(alpha, cardinality)
+    dtype = u1.dtype
+    alpha_v = jnp.asarray(alpha_c, dtype)
+    sd_v = jnp.asarray(sd, dtype)
+    norm_v = jnp.asarray(norm, dtype)
+
+    un = u1 * norm_v
+    # inverse CDF of the proposal (Zipf.cpp:35-43)
+    icdf_tail = jnp.power(un * sd_v + alpha_v, 1.0 / sd_v)
+    icdf = jnp.where(un <= 1.0, un, icdf_tail)
+    sample = jnp.floor(icdf + 1.0)
+    # guard float rounding at the top of the range (u1 < 1 guarantees
+    # icdf < cardinality in exact arithmetic)
+    sample = jnp.clip(sample, 1.0, float(cardinality))
+
+    density_original = jnp.power(sample, -alpha_v)
+    density_sampling = jnp.where(
+        sample <= 1.0, 1.0 / norm_v, jnp.power(icdf, -alpha_v) / norm_v
+    )
+    ratio = density_original / (density_sampling * norm_v)
+    accepted = u2 < ratio
+    return sample.astype(jnp.int32), accepted
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def zipf_keys(
+    key: jax.Array,
+    n: int,
+    alpha: float,
+    cardinality: int,
+    max_rounds: int = 64,
+) -> jax.Array:
+    """n Zipf(alpha) samples over the closed range [1, cardinality], int32.
+
+    Every slot runs an independent rejection chain (Zipf.cpp:31-55); rounds
+    are executed in lockstep until all slots accept.  The proposal is tight,
+    so the expected round count is small (~4-6); ``max_rounds`` bounds the
+    loop for the compiler, and any (probability ~0) never-accepted slot
+    falls back to its last candidate clamped into range.
+    """
+
+    def round_body(state):
+        rng, vals, accepted, i = state
+        rng, sub = jax.random.split(rng)
+        u = jax.random.uniform(sub, (2, n), dtype=jnp.float32)
+        sample, ok = zipf_candidates(u[0], u[1], alpha, cardinality)
+        take = jnp.logical_and(ok, jnp.logical_not(accepted))
+        vals = jnp.where(take, sample, vals)
+        accepted = jnp.logical_or(accepted, ok)
+        return rng, vals, accepted, i + 1
+
+    def cond(state):
+        _, _, accepted, i = state
+        return jnp.logical_and(jnp.logical_not(jnp.all(accepted)), i < max_rounds)
+
+    init = (
+        key,
+        jnp.ones((n,), jnp.int32),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.asarray(0, jnp.int32),
+    )
+    _, vals, _, _ = jax.lax.while_loop(cond, round_body, init)
+    return vals
+
+
+def sequential_keys(n: int, start: int = 1, dtype=jnp.int32) -> jax.Array:
+    """ids start..start+n-1 (Sequential.cpp:20-25)."""
+    return start + jnp.arange(n, dtype=dtype)
+
+
+def sequential_table(n: int, start: int = 1, dtype=jnp.int32) -> Table:
+    """Primary relation: sequential unique ids, payload = row index."""
+    return make_table(
+        sequential_keys(n, start, dtype), jnp.arange(n, dtype=dtype)
+    )
+
+
+def zipf_table(
+    n: int,
+    alpha: float,
+    key_range: Tuple[int, int],
+    seed: Optional[int] = None,
+    dtype=jnp.int32,
+) -> Table:
+    """Secondary relation: Zipf ids over closed [lo, hi], payload = row index.
+
+    Mirrors Zipf::FillTable (Zipf.cpp:58-108): range validation, closed-range
+    cardinality, and the ``lo - 1`` correction.
+    """
+    lo, hi = key_range
+    if lo >= hi:
+        raise ValueError(
+            f"Range for Zipf generation is incorrectly specified: [{lo}, {hi}]."
+        )
+    cardinality = hi - lo + 1
+    correction = lo - 1
+    rng = jax.random.PRNGKey(0 if seed is None else seed)
+    ids = zipf_keys(rng, n, float(alpha), int(cardinality))
+    ids = (ids + jnp.asarray(correction, jnp.int32)).astype(dtype)
+    return make_table(ids, jnp.arange(n, dtype=dtype))

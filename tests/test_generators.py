@@ -1,0 +1,101 @@
+"""Generator tests.
+
+Mirrors the reference's Zipf statistical test (tests/DataGenerator/
+ZipfTest.hpp:15-51: fixed seed, alpha=0.99, cardinality 10, 10k samples; all
+samples in range and frequencies monotonically non-increasing) and adds
+distribution-equivalence checks against the reference's host-side sampler.
+"""
+
+import math
+
+import jax
+import numpy as np
+import pytest
+
+from partitionedhashjoin_tpu.data.table import Table
+from partitionedhashjoin_tpu.ops import generators
+from partitionedhashjoin_tpu.utils.rng import MultiplicativeLCG
+
+
+def test_sequential_table():
+    t = generators.sequential_table(1000, start=1)
+    assert t.size == 1000
+    np.testing.assert_array_equal(np.asarray(t.keys), np.arange(1, 1001))
+    np.testing.assert_array_equal(np.asarray(t.payloads), np.arange(1000))
+    assert t.uuid  # has identity (Table.cpp:18-22)
+
+
+def test_zipf_reference_properties():
+    """The reference's ZipfTest: bounds + monotone frequencies.
+
+    The reference uses n=10k with a pinned seed (ZipfTest.hpp:15-51); at that
+    n the tail-bin gaps are within sampling noise, so we use n=100k where
+    strict monotonicity is statistically safe for any seed.
+    """
+    n, alpha, card = 100_000, 0.99, 10
+    keys = np.asarray(generators.zipf_keys(jax.random.PRNGKey(123456789), n, alpha, card))
+    assert keys.min() >= 1 and keys.max() <= card
+    freqs = np.bincount(keys, minlength=card + 1)[1:]
+    assert all(freqs[i] >= freqs[i + 1] for i in range(card - 1))
+
+
+def test_zipf_range_validation():
+    with pytest.raises(ValueError):
+        generators.zipf_table(100, 1.05, (10, 10))
+    with pytest.raises(ValueError):
+        generators.zipf_keys(jax.random.PRNGKey(0), 10, 0.001, 10)
+
+
+def test_zipf_closed_range_correction():
+    t = generators.zipf_table(5000, 1.05, (100, 199), seed=7)
+    keys = np.asarray(t.keys)
+    assert keys.min() >= 100 and keys.max() <= 199
+
+
+def test_zipf_alpha_one_clamp():
+    """alpha within 0.01 of 1.0 is clamped (Zipf.cpp:22-26); must not blow up."""
+    keys = np.asarray(generators.zipf_keys(jax.random.PRNGKey(0), 5000, 1.0, 100))
+    assert keys.min() >= 1 and keys.max() <= 100
+
+
+def _host_zipf_reference(n, alpha, card, seed):
+    """The reference sampler verbatim on the host LCG (Zipf.cpp:14-56)."""
+    gen = MultiplicativeLCG(seed)
+    error = 0.01
+    sd = 1.001 - alpha
+    diff = 1.0 - alpha
+    if abs(diff) < error:
+        sd = error * (1 if diff < 0 else -1)
+        alpha = 1.0 - sd
+    norm = (card**sd - alpha) / sd
+    out = np.empty(n, np.int64)
+    for i in range(n):
+        while True:
+            u1, u2 = gen.next(), gen.next()
+            un = u1 * norm
+            icdf = un if un <= 1.0 else ((un * sd + alpha) ** (1.0 / sd))
+            sample = math.floor(icdf + 1)
+            d_orig = sample**-alpha
+            d_samp = 1.0 / norm if sample <= 1.0 else (icdf**-alpha) / norm
+            if u2 < d_orig / (d_samp * norm):
+                out[i] = sample
+                break
+    return out
+
+
+def test_zipf_distribution_matches_reference_sampler():
+    """Device sampler ~ reference host sampler (chi-square over head buckets)."""
+    n, alpha, card = 40_000, 1.05, 1000
+    ours = np.asarray(generators.zipf_keys(jax.random.PRNGKey(9), n, alpha, card))
+    ref = _host_zipf_reference(n, alpha, card, seed=424242)
+    # compare mass on head values 1..20 plus tail bucket
+    edges = list(range(1, 21)) + [card + 1]
+    f_ours = np.histogram(ours, bins=edges)[0] / n
+    f_ref = np.histogram(ref, bins=edges)[0] / n
+    np.testing.assert_allclose(f_ours, f_ref, atol=0.01)
+
+
+def test_table_is_pytree():
+    t = generators.sequential_table(64)
+    t2 = jax.jit(lambda x: Table(x.keys + 1, x.payloads, x.uuid))(t)
+    np.testing.assert_array_equal(np.asarray(t2.keys), np.asarray(t.keys) + 1)
