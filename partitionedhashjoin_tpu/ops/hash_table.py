@@ -1,0 +1,380 @@
+"""Vectorized open-addressing hash table (build + probe kernels).
+
+TPU-native counterpart of the reference's latched linear-probing hash table
+(src/HashTables/LinearProbing.hpp:90-210).  The reference resolves concurrent
+inserts with per-bucket ``std::atomic_flag`` spinlocks (LinearProbing.hpp:
+120-126) and probes by pointer-chasing bucket chains.  TPUs have no atomics
+and no locks — this implementation makes every phase conflict-free *by
+construction* (the same property the reference's scatter phase has,
+src/RadixCluster/HashJoin.hpp:394-412):
+
+- **Build** is an iterative claim/resolve loop: every pending row computes its
+  candidate slot ``(h + d) & mask``; rows pointing at occupied slots advance
+  their probe distance; rows pointing at empty slots *claim* them with a
+  deterministic ``scatter-min`` of their row id (XLA scatter-min is
+  associative ⇒ one winner per slot, no races); winners write their entry,
+  losers retry.  Expected O(max probe chain) rounds at load factor <= 0.5.
+- **Probe** is a lockstep gather loop with per-row active masks, terminating
+  at a key match (`Get`, LinearProbing.hpp:159-180), at an empty slot, or at
+  the recorded maximum probe distance.  The classic linear-probing invariant
+  (a key inserted at distance d saw slots h..h+d-1 occupied, and entries are
+  never removed) makes empty-slot termination exact.
+
+Slot occupancy is tracked in the value lane (build-row indices are >= 0, empty
+slots hold -1) so keys may take any int32 value — no key sentinel is reserved,
+unlike typical open-addressing designs.
+
+Duplicate keys occupy distinct slots along the probe chain, preserving the
+reference's multiset semantics (``GetAll``, LinearProbing.hpp:182-200):
+``probe_count_all`` counts every duplicate, ``probe_exists``/``probe_get``
+stop at the first (insertion-order nondeterministic, as in the concurrent
+reference build).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.ops import hashing
+
+#: Default slots-per-key ratio.  The reference uses 1.25 buckets-per-key with
+#: 3-slot buckets (load factor ~0.27, LinearProbing.hpp:16-18, main.cpp:211).
+#: We use individual slots at a power-of-two count >= 2x keys (load <= 0.5),
+#: which keeps expected probe chains ~1.5 and the vectorized build loop short.
+DEFAULT_SIZE_RATIO = 2.0
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def table_size_for(n: int, ratio: float = DEFAULT_SIZE_RATIO) -> int:
+    """Power-of-two slot count >= ratio * n (cf. getNumberOfBuckets,
+    src/HashTables/LinearProbing.cpp:7-12 — ceil(ratio*n), made pow2 here so
+    the mask reduction stays a single AND on the VPU)."""
+    if n <= 0:
+        return 1
+    want = max(1, int(-(-n * ratio // 1)))
+    size = 1
+    while size < want:
+        size <<= 1
+    return size
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HashTable:
+    """A built table: parallel slot arrays + probe-depth bound.
+
+    ``slot_keys[s]`` is meaningful iff ``slot_rows[s] >= 0``; ``slot_rows``
+    holds the build-relation row index (the reference stores tuple pointers,
+    LinearProbing.hpp:113-134 — a row index is the SoA equivalent).
+    ``max_probe`` is the largest insertion probe distance, bounding every
+    probe loop.
+    """
+
+    slot_keys: jax.Array  # int32[size]
+    slot_rows: jax.Array  # int32[size], -1 == empty
+    max_probe: jax.Array  # int32 scalar
+    seed: jax.Array  # uint32 scalar hash seed
+
+    @property
+    def size(self) -> int:
+        return self.slot_keys.shape[0]
+
+
+def _bucket_of(keys, seed, mask):
+    h = hashing.hash32(keys, seed)
+    return (h & jnp.uint32(mask)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("size",))
+def build_hash_table(keys: jax.Array, seed: jax.Array, size: int) -> HashTable:
+    """Insert all ``keys`` into a fresh table of ``size`` slots (power of 2).
+
+    Vectorized replacement for the reference's parallel latched insert loop
+    (src/NoPartitioning/HashJoin.hpp:93-115 driving LinearProbing.hpp:113-134).
+    ``seed`` is a traced uint32 scalar, mirroring the per-instance random
+    hasher seed (src/Common/XXHasher.hpp:12-17) without recompilation.
+    """
+    n = keys.shape[0]
+    if size & (size - 1):
+        raise ValueError(f"table size must be a power of two, got {size}")
+    if size < n:
+        raise ValueError(f"table size {size} < number of keys {n}")
+    mask = size - 1
+    keys = jnp.asarray(keys, jnp.int32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    home = _bucket_of(keys, seed, mask)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def body(state):
+        slot_keys, slot_rows, dist, pending, max_probe = state
+        slot = (home + dist) & mask
+        occupied = slot_rows[slot] >= 0
+        # Rows staring at a full slot move one step down their chain
+        # (LinearProbing.hpp:132 wraparound equivalent via the mask).
+        advance = pending & occupied
+        dist = jnp.where(advance, dist + 1, dist)
+        # Rows staring at an empty slot race for it; scatter-min of the row id
+        # deterministically picks one winner per slot.
+        trying = pending & ~occupied
+        claim_slot = jnp.where(trying, slot, size)  # losers -> dump slot
+        claims = (
+            jnp.full((size + 1,), _INT32_MAX, jnp.int32)
+            .at[claim_slot]
+            .min(row_ids)
+        )
+        won = trying & (claims[slot] == row_ids)
+        write_slot = jnp.where(won, slot, size)
+        slot_keys = slot_keys.at[write_slot].set(keys, mode="drop")
+        slot_rows = slot_rows.at[write_slot].set(row_ids, mode="drop")
+        pending = pending & ~won
+        max_probe = jnp.maximum(
+            max_probe, jnp.max(jnp.where(won, dist, 0), initial=0)
+        )
+        return slot_keys, slot_rows, dist, pending, max_probe
+
+    def cond(state):
+        return jnp.any(state[3])
+
+    init = (
+        jnp.zeros((size,), jnp.int32),
+        jnp.full((size,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), jnp.bool_),
+        jnp.asarray(0, jnp.int32),
+    )
+    slot_keys, slot_rows, _, _, max_probe = jax.lax.while_loop(cond, body, init)
+    return HashTable(
+        slot_keys=slot_keys, slot_rows=slot_rows, max_probe=max_probe, seed=seed
+    )
+
+
+def _probe_loop(table: HashTable, keys: jax.Array, count_all: bool):
+    """Shared lockstep probe: returns (found, first_row, match_count)."""
+    n = keys.shape[0]
+    mask = table.size - 1
+    keys = jnp.asarray(keys, jnp.int32)
+    home = _bucket_of(keys, table.seed, mask)
+
+    def body(state):
+        dist, active, found, first_row, matches = state
+        slot = (home + dist) & mask
+        rows = table.slot_rows[slot]
+        slot_keys = table.slot_keys[slot]
+        occupied = rows >= 0
+        hit = active & occupied & (slot_keys == keys)
+        empty = active & ~occupied
+        first_row = jnp.where(hit & ~found, rows, first_row)
+        found = found | hit
+        matches = matches + hit.astype(jnp.int32)
+        if count_all:
+            # GetAll semantics (LinearProbing.hpp:182-200): keep scanning the
+            # chain past hits, stop only at an empty slot / depth bound.
+            active = active & ~empty
+        else:
+            active = active & ~hit & ~empty
+        active = active & (dist < table.max_probe)
+        return dist + 1, active, found, first_row, matches
+
+    def cond(state):
+        return jnp.any(state[1])
+
+    init = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), jnp.bool_),
+        jnp.zeros((n,), jnp.bool_),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+    )
+    _, _, found, first_row, matches = jax.lax.while_loop(cond, body, init)
+    return found, first_row, matches
+
+
+@jax.jit
+def probe_exists(table: HashTable, keys: jax.Array) -> jax.Array:
+    """bool[n]: key present?  (``Exists``, LinearProbing.hpp:136-157)."""
+    found, _, _ = _probe_loop(table, keys, count_all=False)
+    return found
+
+
+@jax.jit
+def probe_get(table: HashTable, keys: jax.Array):
+    """(found bool[n], build_row int32[n]) — first match per probe key
+    (``Get``, LinearProbing.hpp:159-180; -1 where absent)."""
+    found, first_row, _ = _probe_loop(table, keys, count_all=False)
+    return found, first_row
+
+
+@jax.jit
+def probe_count_all(table: HashTable, keys: jax.Array) -> jax.Array:
+    """int32[n]: number of matching build entries per probe key
+    (``GetAll`` cardinality, LinearProbing.hpp:182-200)."""
+    _, _, matches = _probe_loop(table, keys, count_all=True)
+    return matches
+
+
+# ---------------------------------------------------------------------------
+# Segmented tables: one flat buffer holding P per-partition sub-tables.
+#
+# The radix join's "factory.New(|A_p|) per partition" loop
+# (src/RadixCluster/HashJoin.hpp:278-286) becomes a single vectorized build
+# over all partitions at once: every row carries its partition's (offset, cap)
+# pair and probes ``offset + (h + d) % cap``.  Capacities are data-dependent
+# (Zipf partitions are very uneven) but live inside a *static* buffer of
+# ``segmented_capacity`` slots, so shapes stay XLA-friendly.
+# ---------------------------------------------------------------------------
+
+#: Per-partition capacity rounding granularity (slots).
+SEGMENT_GRANULE = 8
+
+
+def segmented_capacity(
+    n: int, num_partitions: int, ratio: float = DEFAULT_SIZE_RATIO
+) -> int:
+    """Static upper bound on total slots: ratio*n plus one granule per
+    partition of round-up slack."""
+    return int(n * ratio) + num_partitions * SEGMENT_GRANULE
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SegmentedHashTable:
+    """P sub-tables in one flat slot buffer (+ per-partition geometry)."""
+
+    slot_keys: jax.Array  # int32[capacity]
+    slot_rows: jax.Array  # int32[capacity], -1 == empty
+    seg_offsets: jax.Array  # int32[P] sub-table start slot
+    seg_caps: jax.Array  # int32[P] sub-table slot count
+    max_probe: jax.Array  # int32 scalar, across all partitions
+    seed: jax.Array  # uint32 scalar hash seed
+
+    @property
+    def capacity(self) -> int:
+        return self.slot_keys.shape[0]
+
+
+def segment_geometry(histogram: jax.Array, ratio: float = DEFAULT_SIZE_RATIO):
+    """(offsets, caps) for per-partition sub-tables sized ratio * |A_p|,
+    rounded up to SEGMENT_GRANULE (getNumberOfBuckets semantics,
+    src/HashTables/LinearProbing.cpp:7-12, per partition)."""
+    want = jnp.ceil(histogram.astype(jnp.float32) * ratio).astype(jnp.int32)
+    caps = (
+        (want + (SEGMENT_GRANULE - 1)) // SEGMENT_GRANULE * SEGMENT_GRANULE
+    )
+    caps = jnp.maximum(caps, SEGMENT_GRANULE)
+    offsets = jnp.cumsum(caps) - caps
+    return offsets, caps
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def build_segmented(
+    keys: jax.Array,
+    pid: jax.Array,
+    valid: jax.Array,
+    seg_offsets: jax.Array,
+    seg_caps: jax.Array,
+    seed: jax.Array,
+    capacity: int,
+) -> SegmentedHashTable:
+    """Insert every valid row into its partition's sub-table.
+
+    Same deterministic claim/resolve loop as ``build_hash_table`` but with
+    per-row segment geometry; rows with ``valid == False`` (partition padding)
+    are never inserted.
+    """
+    n = keys.shape[0]
+    keys = jnp.asarray(keys, jnp.int32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    offset = seg_offsets[pid]
+    cap = seg_caps[pid]
+    home = (
+        hashing.hash32(keys, seed) % cap.astype(jnp.uint32)
+    ).astype(jnp.int32)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def body(state):
+        slot_keys, slot_rows, dist, pending, max_probe = state
+        local = home + dist
+        local = jnp.where(local >= cap, local - cap, local)  # wrap in-segment
+        slot = offset + local
+        occupied = slot_rows[slot] >= 0
+        advance = pending & occupied
+        dist = jnp.where(advance, dist + 1, dist)
+        trying = pending & ~occupied
+        claim_slot = jnp.where(trying, slot, capacity)
+        claims = (
+            jnp.full((capacity + 1,), _INT32_MAX, jnp.int32)
+            .at[claim_slot]
+            .min(row_ids)
+        )
+        won = trying & (claims[slot] == row_ids)
+        write_slot = jnp.where(won, slot, capacity)
+        slot_keys = slot_keys.at[write_slot].set(keys, mode="drop")
+        slot_rows = slot_rows.at[write_slot].set(row_ids, mode="drop")
+        pending = pending & ~won
+        max_probe = jnp.maximum(
+            max_probe, jnp.max(jnp.where(won, dist, 0), initial=0)
+        )
+        return slot_keys, slot_rows, dist, pending, max_probe
+
+    init = (
+        jnp.zeros((capacity,), jnp.int32),
+        jnp.full((capacity,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.asarray(valid, jnp.bool_),
+        jnp.asarray(0, jnp.int32),
+    )
+    slot_keys, slot_rows, _, _, max_probe = jax.lax.while_loop(
+        lambda s: jnp.any(s[3]), body, init
+    )
+    return SegmentedHashTable(
+        slot_keys=slot_keys,
+        slot_rows=slot_rows,
+        seg_offsets=seg_offsets,
+        seg_caps=seg_caps,
+        max_probe=max_probe,
+        seed=seed,
+    )
+
+
+@jax.jit
+def probe_segmented_exists(
+    table: SegmentedHashTable,
+    keys: jax.Array,
+    pid: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """bool[n]: does probe row i match inside its partition's sub-table?"""
+    n = keys.shape[0]
+    keys = jnp.asarray(keys, jnp.int32)
+    offset = table.seg_offsets[pid]
+    cap = table.seg_caps[pid]
+    home = (
+        hashing.hash32(keys, table.seed) % cap.astype(jnp.uint32)
+    ).astype(jnp.int32)
+
+    def body(state):
+        dist, active, found = state
+        local = home + dist
+        local = jnp.where(local >= cap, local - cap, local)
+        slot = offset + local
+        rows = table.slot_rows[slot]
+        slot_keys = table.slot_keys[slot]
+        occupied = rows >= 0
+        hit = active & occupied & (slot_keys == keys)
+        empty = active & ~occupied
+        found = found | hit
+        active = active & ~hit & ~empty & (dist < table.max_probe)
+        return dist + 1, active, found
+
+    init = (
+        jnp.zeros((n,), jnp.int32),
+        jnp.asarray(valid, jnp.bool_),
+        jnp.zeros((n,), jnp.bool_),
+    )
+    _, _, found = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, init)
+    return found

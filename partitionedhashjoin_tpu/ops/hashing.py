@@ -36,10 +36,16 @@ def fmix32(h):
     return h
 
 
-def hash32(keys, seed: int = 0):
-    """Seeded uint32 hash of 32-bit keys (int32/uint32 accepted)."""
+def hash32(keys, seed=0):
+    """Seeded uint32 hash of 32-bit keys (int32/uint32 accepted).
+
+    ``seed`` may be a Python int or a traced scalar (so per-instance random
+    seeds, XXHasher.hpp:12-17, don't trigger recompilation under jit).
+    """
     h = jnp.asarray(keys).astype(jnp.uint32)
-    h = h ^ jnp.uint32(np.uint32(seed))
+    if isinstance(seed, int):
+        seed = np.uint32(seed & 0xFFFFFFFF)
+    h = h ^ jnp.asarray(seed).astype(jnp.uint32)
     h = fmix32(h)
     # second round decorrelates consecutive keys fully even after xor-seed
     h = fmix32(h + _GOLDEN)

@@ -1,0 +1,145 @@
+"""No-partitioning hash join (Blanas SIGMOD'11, algorithm 1).
+
+TPU-native counterpart of src/NoPartitioning/HashJoin.hpp:14-187: one global
+hash table built over the whole build relation, then the probe relation is
+scanned against it, counting probe rows that find a match (``Get`` != null,
+HashJoin.hpp:144-157).  The reference parallelizes with thread batches over a
+shared latched table; here both phases are single fused XLA programs over the
+vectorized conflict-free table (ops/hash_table.py) — lane parallelism replaces
+thread parallelism, and multi-chip runs shard the probe relation over a mesh
+(parallel/shuffle.py) instead of adding workers.
+
+Matching the reference, the join result is **not materialized** by default:
+``run`` returns the match count (HashJoin.hpp:184-186 logs the count and
+returns an empty table).  ``run_materialize`` is the engine extension that
+gathers the matched payload pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
+from partitionedhashjoin_tpu.data.table import JoinedTable, Table
+from partitionedhashjoin_tpu.ops import hash_table as ht
+from partitionedhashjoin_tpu.utils.logger import get_new_logger
+from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _build(keys: jax.Array, seed: jax.Array, size: int) -> ht.HashTable:
+    return ht.build_hash_table(keys, seed, size)
+
+
+@jax.jit
+def _probe_count(table: ht.HashTable, probe_keys: jax.Array) -> jax.Array:
+    """Count probe rows with a match — per-worker local counters + the global
+    atomic add (HashJoin.hpp:144-157) collapse to one vectorized reduction."""
+    found = ht.probe_exists(table, probe_keys)
+    return jnp.sum(found.astype(jnp.int64 if found.shape[0] > (1 << 31) else jnp.int32))
+
+
+@jax.jit
+def _probe_gather(
+    table: ht.HashTable,
+    probe_keys: jax.Array,
+    build_payloads: jax.Array,
+    probe_payloads: jax.Array,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Materialize first-match join output, compacted to the front."""
+    found, build_row = ht.probe_get(table, probe_keys)
+    n = probe_keys.shape[0]
+    # stable compaction: output position = exclusive prefix count of matches
+    pos = jnp.cumsum(found.astype(jnp.int32)) - found.astype(jnp.int32)
+    dst = jnp.where(found, pos, n)  # misses -> dump slot
+    keys_out = jnp.zeros((n,), probe_keys.dtype).at[dst].set(
+        probe_keys, mode="drop"
+    )
+    pay_a = jnp.zeros((n,), build_payloads.dtype).at[dst].set(
+        build_payloads[jnp.maximum(build_row, 0)], mode="drop"
+    )
+    pay_b = jnp.zeros((n,), probe_payloads.dtype).at[dst].set(
+        probe_payloads, mode="drop"
+    )
+    count = jnp.sum(found.astype(jnp.int32))
+    return keys_out, pay_a, pay_b, count
+
+
+class NoPartitioningHashJoiner:
+    """Driver mirroring HashJoiner<Factory> (HashJoin.hpp:14-41).
+
+    ``run(table_a, table_b, timer)`` builds over ``table_a`` and probes with
+    ``table_b`` (HashJoin.hpp:54-74).  Phase boundaries are real device-work
+    boundaries: each phase ends with ``block_until_ready`` before its timer
+    stops, so build/probe attribution is exact (the reference's probe timer
+    bug, Results.hpp:202, is documented in utils/results.py and not
+    replicated).
+    """
+
+    def __init__(
+        self,
+        configuration: Optional[NoPartitioningConfiguration] = None,
+        seed: Optional[int] = None,
+        size_ratio: float = ht.DEFAULT_SIZE_RATIO,
+    ) -> None:
+        self._config = configuration or NoPartitioningConfiguration()
+        self._size_ratio = size_ratio
+        # Per-instance random hash seed (XXHasher.hpp:12-17 semantics), held
+        # as a device scalar so seed changes never recompile the kernels.
+        if seed is None:
+            import numpy as _np
+
+            seed = int(_np.random.SeedSequence().entropy & 0xFFFFFFFF)
+        self._seed = jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32)
+        self._logger = get_new_logger("NoPartitioningHashJoiner")
+
+    def build(self, table_a: Table) -> ht.HashTable:
+        size = ht.table_size_for(table_a.size, self._size_ratio)
+        table = _build(table_a.keys, self._seed, size)
+        jax.block_until_ready(table.slot_rows)
+        return table
+
+    def run(
+        self,
+        table_a: Table,
+        table_b: Table,
+        timer: Optional[IHashJoinTimer] = None,
+    ) -> int:
+        """Build over A, probe with B, return the match count."""
+        timer = timer or NoOpHashJoinTimer()
+        timer.set_build_phase_begin()
+        hash_tbl = self.build(table_a)
+        timer.set_build_phase_end()
+
+        timer.set_probe_phase_begin()
+        count = _probe_count(hash_tbl, table_b.keys)
+        count = int(jax.block_until_ready(count))
+        timer.set_probe_phase_end()
+        self._logger.info("Number of joined tuples: %d", count)
+        return count
+
+    def run_materialize(
+        self,
+        table_a: Table,
+        table_b: Table,
+        timer: Optional[IHashJoinTimer] = None,
+    ) -> JoinedTable:
+        """Engine extension: materialized first-match join output."""
+        timer = timer or NoOpHashJoinTimer()
+        timer.set_build_phase_begin()
+        hash_tbl = self.build(table_a)
+        timer.set_build_phase_end()
+
+        timer.set_probe_phase_begin()
+        keys, pay_a, pay_b, count = _probe_gather(
+            hash_tbl, table_b.keys, table_a.payloads, table_b.payloads
+        )
+        jax.block_until_ready(count)
+        timer.set_probe_phase_end()
+        return JoinedTable(
+            keys=keys, payloads_a=pay_a, payloads_b=pay_b, count=count
+        )

@@ -1,0 +1,152 @@
+"""Radix-partitioning hash join (Blanas SIGMOD'11, algorithm 2).
+
+TPU-native counterpart of src/RadixCluster/HashJoin.hpp:91-440:
+
+- **Partition phase** (HashJoin.hpp:333-440): both relations fanned out into P
+  contiguous partitions by ``hash(key) & (P-1)`` — here the sort-based
+  pipeline in ops/radix.py, run for A and B (the reference runs them
+  concurrently on the thread pool, :210-213; XLA schedules both sorts inside
+  one jit).
+- **Join phase** (HashJoin.hpp:243-331): the reference loops workers over
+  partitions round-robin, building a fresh hash table per partition (:278)
+  and probing it (:295-301).  Here *all* per-partition builds happen in one
+  vectorized claim/resolve pass over a segmented table
+  (ops/hash_table.py::build_segmented) and all probes in one lockstep gather
+  pass — partition-parallelism becomes lane-parallelism.
+
+Match semantics are the reference's: each probe row counts once if its key
+exists in the same partition's build table (``Get`` != null, :295-301).
+The partition hasher and the bucket hasher are decorrelated by seed
+(src/main.cpp:215-217,267): we derive both from one base seed via distinct
+mix constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.config import RadixClusteringConfiguration
+from partitionedhashjoin_tpu.data.table import Table
+from partitionedhashjoin_tpu.ops import hash_table as ht
+from partitionedhashjoin_tpu.ops import radix
+from partitionedhashjoin_tpu.utils.logger import get_new_logger
+from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
+
+#: Seed decorrelation constants: partition hash vs bucket hash must be
+#: independent or every sub-table sees only keys whose low hash bits are
+#: equal (main.cpp:215-217,267 uses two randomly seeded XXHashers).
+_PARTITION_SEED_MIX = 0x9E3779B9
+_BUCKET_SEED_MIX = 0x85EBCA6B
+
+
+@functools.partial(jax.jit, static_argnames=("num_partitions",))
+def _partition_both(
+    keys_a, payloads_a, keys_b, payloads_b, part_seed, num_partitions: int
+):
+    part_a = radix.radix_partition(keys_a, payloads_a, part_seed, num_partitions)
+    part_b = radix.radix_partition(keys_b, payloads_b, part_seed, num_partitions)
+    return part_a, part_b
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "num_partitions"))
+def _build_phase(
+    part_a: radix.PartitionedRelation,
+    part_seed,
+    bucket_seed,
+    capacity: int,
+    num_partitions: int,
+) -> ht.SegmentedHashTable:
+    seg_offsets, seg_caps = ht.segment_geometry(part_a.histogram)
+    pid = radix.partition_ids(part_a.keys, part_seed, num_partitions)
+    valid = part_a.row_ids >= 0
+    return ht.build_segmented(
+        part_a.keys, pid, valid, seg_offsets, seg_caps, bucket_seed, capacity
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_partitions",))
+def _probe_phase(
+    table: ht.SegmentedHashTable,
+    part_b: radix.PartitionedRelation,
+    part_seed,
+    num_partitions: int,
+) -> jax.Array:
+    pid = radix.partition_ids(part_b.keys, part_seed, num_partitions)
+    valid = part_b.row_ids >= 0
+    found = ht.probe_segmented_exists(table, part_b.keys, pid, valid)
+    return jnp.sum(found.astype(jnp.int32))
+
+
+class RadixHashJoiner:
+    """Driver mirroring RadixCluster::HashJoiner (HashJoin.hpp:91-135).
+
+    ``run`` = partition A ∥ partition B → build → probe → count
+    (HashJoin.hpp:190-241), with each phase a fused XLA program ended by
+    ``block_until_ready`` for exact timer attribution.
+    """
+
+    def __init__(
+        self,
+        configuration: Optional[RadixClusteringConfiguration] = None,
+        seed: Optional[int] = None,
+    ) -> None:
+        self._config = configuration or RadixClusteringConfiguration()
+        p = self._config.number_of_partitions
+        if p & (p - 1):
+            raise ValueError(f"number_of_partitions must be a power of 2, got {p}")
+        if seed is None:
+            import numpy as _np
+
+            seed = int(_np.random.SeedSequence().entropy & 0xFFFFFFFF)
+        self._part_seed = jnp.asarray(
+            (seed ^ _PARTITION_SEED_MIX) & 0xFFFFFFFF, jnp.uint32
+        )
+        self._bucket_seed = jnp.asarray(
+            (seed ^ _BUCKET_SEED_MIX) & 0xFFFFFFFF, jnp.uint32
+        )
+        self._logger = get_new_logger("RadixClusterHashJoiner")
+
+    @property
+    def num_partitions(self) -> int:
+        return self._config.number_of_partitions
+
+    def run(
+        self,
+        table_a: Table,
+        table_b: Table,
+        timer: Optional[IHashJoinTimer] = None,
+    ) -> int:
+        """Partition both, build per-partition tables, probe, return count."""
+        timer = timer or NoOpHashJoinTimer()
+        p = self.num_partitions
+
+        timer.set_partitioning_phase_begin()
+        part_a, part_b = _partition_both(
+            table_a.keys,
+            table_a.payloads,
+            table_b.keys,
+            table_b.payloads,
+            self._part_seed,
+            p,
+        )
+        jax.block_until_ready((part_a.keys, part_b.keys))
+        timer.set_partitioning_phase_end()
+
+        capacity = ht.segmented_capacity(table_a.size, p)
+        timer.set_build_phase_begin()
+        seg_table = _build_phase(
+            part_a, self._part_seed, self._bucket_seed, capacity, p
+        )
+        jax.block_until_ready(seg_table.slot_rows)
+        timer.set_build_phase_end()
+
+        timer.set_probe_phase_begin()
+        count = _probe_phase(seg_table, part_b, self._part_seed, p)
+        count = int(jax.block_until_ready(count))
+        timer.set_probe_phase_end()
+        self._logger.info("Number of joined tuples: %d", count)
+        return count

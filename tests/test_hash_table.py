@@ -1,0 +1,107 @@
+"""Hash-table semantics tests.
+
+Ports the reference's unit properties (tests/NoPartitioningHashJoin/
+HashTableTest.hpp: insert/get/exists :10-26, duplicate-key GetAll :28-44,
+concurrent-build coverage :46-82 — here the "concurrent" path *is* the
+vectorized build) and adds what the reference lacks: randomized
+presence/absence oracles and full-table load tests.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.ops import hash_table as ht
+
+
+def _build(keys, seed=42, ratio=ht.DEFAULT_SIZE_RATIO):
+    keys = jnp.asarray(np.asarray(keys, np.int32))
+    return ht.build_hash_table(
+        keys, jnp.uint32(seed), ht.table_size_for(keys.shape[0], ratio)
+    )
+
+
+def test_insert_get_and_exists():
+    # HashTableTest.hpp:10-26 — one tuple: Exists true, Get returns its row.
+    table = _build([15])
+    assert bool(ht.probe_exists(table, jnp.asarray([15], jnp.int32))[0])
+    found, row = ht.probe_get(table, jnp.asarray([15], jnp.int32))
+    assert bool(found[0]) and int(row[0]) == 0
+    assert not bool(ht.probe_exists(table, jnp.asarray([16], jnp.int32))[0])
+
+
+def test_duplicates_get_all():
+    # HashTableTest.hpp:28-44 — 10 duplicate keys, GetAll returns all 10.
+    table = _build([7] * 10 + [3, 4])
+    counts = ht.probe_count_all(table, jnp.asarray([7, 3, 5], jnp.int32))
+    assert counts.tolist() == [10, 1, 0]
+
+
+def test_all_keys_present_after_bulk_build():
+    # The vectorized analogue of testMultiThreaded (HashTableTest.hpp:46-82):
+    # every inserted key must be findable after the conflict-resolution build.
+    n = 4096
+    keys = np.arange(1, n + 1, dtype=np.int32)
+    table = _build(keys)
+    assert bool(ht.probe_exists(table, jnp.asarray(keys)).all())
+
+
+def test_random_keys_with_collisions_and_absences():
+    rng = np.random.default_rng(123)
+    build = rng.integers(-(2**31), 2**31 - 1, 5000, dtype=np.int32)
+    probe = rng.integers(-(2**31), 2**31 - 1, 8000, dtype=np.int32)
+    probe[:4000] = rng.choice(build, 4000)  # guaranteed hits
+    table = _build(build)
+    expected = np.isin(probe, build)
+    got = np.asarray(ht.probe_exists(table, jnp.asarray(probe)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_count_all_matches_multiset_semantics():
+    rng = np.random.default_rng(7)
+    build = rng.integers(0, 50, 2000, dtype=np.int32)  # heavy duplication
+    probe = np.arange(-5, 55, dtype=np.int32)
+    table = _build(build)
+    got = np.asarray(ht.probe_count_all(table, jnp.asarray(probe)))
+    expected = np.array([(build == k).sum() for k in probe], np.int32)
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_probe_rows_point_to_matching_build_rows():
+    rng = np.random.default_rng(5)
+    build = rng.permutation(np.arange(100, 600)).astype(np.int32)
+    probe = rng.integers(0, 700, 300, dtype=np.int32)
+    table = _build(build)
+    found, row = ht.probe_get(table, jnp.asarray(probe))
+    found, row = np.asarray(found), np.asarray(row)
+    assert (row[found] >= 0).all()
+    np.testing.assert_array_equal(build[row[found]], probe[found])
+    assert (row[~found] == -1).all()
+
+
+@pytest.mark.parametrize("ratio", [1.25, 2.0, 4.0])
+def test_size_ratio_and_high_load(ratio):
+    # LinearProbingConfiguration ratio analogue (LinearProbing.hpp:16-18):
+    # table must stay correct down to the reference's tighter load factors.
+    n = 3000
+    keys = np.arange(n, dtype=np.int32)
+    table = _build(keys, ratio=ratio)
+    assert table.size >= n
+    assert bool(ht.probe_exists(table, jnp.asarray(keys)).all())
+
+
+def test_seed_decorrelation():
+    # Two instances with different seeds place keys differently but agree on
+    # semantics (XXHasher.hpp:12-17 per-instance seeding).
+    keys = np.arange(512, dtype=np.int32)
+    t1, t2 = _build(keys, seed=1), _build(keys, seed=2)
+    assert not np.array_equal(np.asarray(t1.slot_rows), np.asarray(t2.slot_rows))
+    for t in (t1, t2):
+        assert bool(ht.probe_exists(t, jnp.asarray(keys)).all())
+
+
+def test_table_size_for_is_pow2_and_covers():
+    for n, ratio in [(1, 2.0), (3, 1.25), (1000, 2.0), (10_000_000, 2.0)]:
+        s = ht.table_size_for(n, ratio)
+        assert s & (s - 1) == 0
+        assert s >= n * ratio - 1e-9
