@@ -1,0 +1,87 @@
+"""Hash aggregate: GROUP BY key with COUNT / SUM / MIN / MAX.
+
+Part of the extended db_exec_kernel suite (BASELINE.json configs[3],
+"Filter + hash-aggregate pipeline"); the reference has no aggregate operator.
+
+TPU-native hash aggregation, no sort: the deduplicating claim loop
+(ops/hash_table.py::build_dedup_hash_table) maps every row to a canonical
+representative row of its key in O(distinct-collision-chain) rounds —
+independent of duplication, so Zipf heads cost nothing extra.  Group ids are
+densified with a flag + prefix sum, and all aggregates are conflict-free
+scatter-adds/mins/maxes onto the group vector (XLA scatter-add is
+deterministic on TPU — the reference would have needed its latch/atomic
+machinery here).
+
+Output arrays have static capacity = number of input rows; ``num_groups``
+bounds the valid prefix.  Group order is hash-table claim order (i.e.
+arbitrary but deterministic given the seed), matching unordered GROUP BY
+semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.data.table import Table
+from partitionedhashjoin_tpu.ops import hash_table as ht
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+_I32_MIN = jnp.iinfo(jnp.int32).min
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GroupByResult:
+    """GROUP BY output: per-group key + aggregates, valid in [0, num_groups)."""
+
+    keys: jax.Array  # int32[n] group keys
+    count: jax.Array  # int32[n] COUNT(*)
+    sum: jax.Array  # int64-or-int32[n] SUM(payload)
+    min: jax.Array  # int32[n] MIN(payload)
+    max: jax.Array  # int32[n] MAX(payload)
+    num_groups: jax.Array  # int32 scalar
+    group_of_row: jax.Array  # int32[n] dense group id per input row
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _group_and_aggregate(
+    keys: jax.Array, payloads: jax.Array, seed: jax.Array, size: int
+) -> GroupByResult:
+    n = keys.shape[0]
+    _, rep_row = ht.build_dedup_hash_table(keys, seed, size)
+    # densify representatives -> group ids 0..G-1 (stable in row order)
+    is_rep_flag = jnp.zeros((n,), jnp.int32).at[rep_row].max(1)
+    dense_of_row = jnp.cumsum(is_rep_flag) - is_rep_flag  # id at rep positions
+    gid = dense_of_row[rep_row]
+    num_groups = jnp.sum(is_rep_flag)
+
+    ones = jnp.ones((n,), jnp.int32)
+    count = jnp.zeros((n,), jnp.int32).at[gid].add(ones)
+    sum_ = jnp.zeros((n,), payloads.dtype).at[gid].add(payloads)
+    min_ = jnp.full((n,), _I32_MAX, jnp.int32).at[gid].min(
+        payloads.astype(jnp.int32)
+    )
+    max_ = jnp.full((n,), _I32_MIN, jnp.int32).at[gid].max(
+        payloads.astype(jnp.int32)
+    )
+    group_keys = jnp.zeros((n,), keys.dtype).at[gid].set(keys, mode="drop")
+    return GroupByResult(
+        keys=group_keys,
+        count=count,
+        sum=sum_,
+        min=min_,
+        max=max_,
+        num_groups=num_groups,
+        group_of_row=gid,
+    )
+
+
+def hash_aggregate(table: Table, seed: int = 0) -> GroupByResult:
+    """GROUP BY ``table.keys``, aggregating ``table.payloads``."""
+    size = ht.table_size_for(table.size)
+    seed_dev = jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32)
+    return _group_and_aggregate(table.keys, table.payloads, seed_dev, size)

@@ -90,25 +90,40 @@ def _bucket_of(keys, seed, mask):
     return (h & jnp.uint32(mask)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("size",))
-def build_hash_table(keys: jax.Array, seed: jax.Array, size: int) -> HashTable:
+@functools.partial(
+    jax.jit, static_argnums=(2,), static_argnames=("size", "has_valid")
+)
+def build_hash_table(
+    keys: jax.Array,
+    seed: jax.Array,
+    size: int,
+    valid: "jax.Array | None" = None,
+    has_valid: bool = False,
+) -> HashTable:
     """Insert all ``keys`` into a fresh table of ``size`` slots (power of 2).
 
     Vectorized replacement for the reference's parallel latched insert loop
     (src/NoPartitioning/HashJoin.hpp:93-115 driving LinearProbing.hpp:113-134).
     ``seed`` is a traced uint32 scalar, mirroring the per-instance random
     hasher seed (src/Common/XXHasher.hpp:12-17) without recompilation.
+    Rows with ``valid == False`` (padding from bucketized exchanges) are
+    skipped; pass ``has_valid=True`` alongside.
     """
     n = keys.shape[0]
     if size & (size - 1):
         raise ValueError(f"table size must be a power of two, got {size}")
-    if size < n:
+    if size < n and not has_valid:
         raise ValueError(f"table size {size} < number of keys {n}")
     mask = size - 1
     keys = jnp.asarray(keys, jnp.int32)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     home = _bucket_of(keys, seed, mask)
     row_ids = jnp.arange(n, dtype=jnp.int32)
+    initial_pending = (
+        jnp.asarray(valid, jnp.bool_)
+        if has_valid
+        else jnp.ones((n,), jnp.bool_)
+    )
 
     def body(state):
         slot_keys, slot_rows, dist, pending, max_probe = state
@@ -144,7 +159,7 @@ def build_hash_table(keys: jax.Array, seed: jax.Array, size: int) -> HashTable:
         jnp.zeros((size,), jnp.int32),
         jnp.full((size,), -1, jnp.int32),
         jnp.zeros((n,), jnp.int32),
-        jnp.ones((n,), jnp.bool_),
+        initial_pending,
         jnp.asarray(0, jnp.int32),
     )
     slot_keys, slot_rows, _, _, max_probe = jax.lax.while_loop(cond, body, init)
@@ -153,12 +168,22 @@ def build_hash_table(keys: jax.Array, seed: jax.Array, size: int) -> HashTable:
     )
 
 
-def _probe_loop(table: HashTable, keys: jax.Array, count_all: bool):
-    """Shared lockstep probe: returns (found, first_row, match_count)."""
+def _probe_loop(
+    table: HashTable, keys: jax.Array, count_all: bool, valid=None
+):
+    """Shared lockstep probe: returns (found, first_row, match_count).
+
+    ``valid=False`` rows (exchange padding) never probe and never match.
+    """
     n = keys.shape[0]
     mask = table.size - 1
     keys = jnp.asarray(keys, jnp.int32)
     home = _bucket_of(keys, table.seed, mask)
+    initial_active = (
+        jnp.asarray(valid, jnp.bool_)
+        if valid is not None
+        else jnp.ones((n,), jnp.bool_)
+    )
 
     def body(state):
         dist, active, found, first_row, matches = state
@@ -185,7 +210,7 @@ def _probe_loop(table: HashTable, keys: jax.Array, count_all: bool):
 
     init = (
         jnp.zeros((n,), jnp.int32),
-        jnp.ones((n,), jnp.bool_),
+        initial_active,
         jnp.zeros((n,), jnp.bool_),
         jnp.full((n,), -1, jnp.int32),
         jnp.zeros((n,), jnp.int32),
@@ -195,9 +220,11 @@ def _probe_loop(table: HashTable, keys: jax.Array, count_all: bool):
 
 
 @jax.jit
-def probe_exists(table: HashTable, keys: jax.Array) -> jax.Array:
+def probe_exists(
+    table: HashTable, keys: jax.Array, valid=None
+) -> jax.Array:
     """bool[n]: key present?  (``Exists``, LinearProbing.hpp:136-157)."""
-    found, _, _ = _probe_loop(table, keys, count_all=False)
+    found, _, _ = _probe_loop(table, keys, count_all=False, valid=valid)
     return found
 
 
@@ -215,6 +242,79 @@ def probe_count_all(table: HashTable, keys: jax.Array) -> jax.Array:
     (``GetAll`` cardinality, LinearProbing.hpp:182-200)."""
     _, _, matches = _probe_loop(table, keys, count_all=True)
     return matches
+
+
+@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("size",))
+def build_dedup_hash_table(keys: jax.Array, seed: jax.Array, size: int):
+    """Insert each *distinct* key once; map every row to its representative.
+
+    Returns ``(table, rep_row)`` where ``rep_row[i]`` is the build-row index
+    of the slot that owns row i's key (identical for all duplicates of a
+    key).  The claim loop is the ``build_hash_table`` loop plus one rule: a
+    pending row that sees its own key already in a slot resolves to that
+    slot's owner instead of probing on.  Probe-chain length therefore depends
+    only on *distinct*-key collisions — a key duplicated 18M times (Zipf head)
+    costs one slot, not an 18M-slot cluster.
+
+    This is the engine's GROUP BY backbone (ops/aggregate.py); the reference
+    has no aggregate operator — it is part of the extended db_exec_kernel
+    suite (BASELINE.json configs[3]).
+    """
+    n = keys.shape[0]
+    if size & (size - 1):
+        raise ValueError(f"table size must be a power of two, got {size}")
+    mask = size - 1
+    keys = jnp.asarray(keys, jnp.int32)
+    seed = jnp.asarray(seed).astype(jnp.uint32)
+    home = _bucket_of(keys, seed, mask)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def body(state):
+        slot_keys, slot_rows, dist, pending, rep_row, max_probe = state
+        slot = (home + dist) & mask
+        occ_rows = slot_rows[slot]
+        occ_keys = slot_keys[slot]
+        occupied = occ_rows >= 0
+        same_key = occupied & (occ_keys == keys)
+        # duplicate rule: resolve to the slot owner
+        dup = pending & same_key
+        rep_row = jnp.where(dup, occ_rows, rep_row)
+        pending = pending & ~dup
+        advance = pending & occupied
+        dist = jnp.where(advance, dist + 1, dist)
+        trying = pending & ~occupied
+        claim_slot = jnp.where(trying, slot, size)
+        claims = (
+            jnp.full((size + 1,), _INT32_MAX, jnp.int32)
+            .at[claim_slot]
+            .min(row_ids)
+        )
+        won = trying & (claims[slot] == row_ids)
+        write_slot = jnp.where(won, slot, size)
+        slot_keys = slot_keys.at[write_slot].set(keys, mode="drop")
+        slot_rows = slot_rows.at[write_slot].set(row_ids, mode="drop")
+        rep_row = jnp.where(won, row_ids, rep_row)
+        pending = pending & ~won
+        max_probe = jnp.maximum(
+            max_probe, jnp.max(jnp.where(won, dist, 0), initial=0)
+        )
+        return slot_keys, slot_rows, dist, pending, rep_row, max_probe
+
+    init = (
+        jnp.zeros((size,), jnp.int32),
+        jnp.full((size,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.int32),
+        jnp.ones((n,), jnp.bool_),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    slot_keys, slot_rows, _, _, rep_row, max_probe = jax.lax.while_loop(
+        lambda s: jnp.any(s[3]), body, init
+    )
+    table = HashTable(
+        slot_keys=slot_keys, slot_rows=slot_rows, max_probe=max_probe, seed=seed
+    )
+    return table, rep_row
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,483 @@
+"""Distributed shuffle hash join over a device mesh, with skew handling.
+
+The reference is single-process: its "shuffle" is the radix scatter into
+shared memory (src/RadixCluster/HashJoin.hpp:394-412) and its "workers" are
+threads (src/Common/ThreadPool.cpp).  The TPU-native scale-out counterpart
+(SURVEY.md §2 "Distributed communication backend", §7 step 6):
+
+1. **Exchange (partition phase).**  Inside ``shard_map``, every shard assigns
+   each local row an owner shard ``hash(key) % S``, bucketizes rows into an
+   ``(S, C)`` send tensor (stable sort by destination — the same conflict-free
+   rank+scatter as ops/radix.py), and swaps buckets with ``lax.all_to_all``
+   over ICI.  Bucket capacity ``C`` is static (XLA needs static shapes where
+   the reference used data-dependent ``PartitionsInfo`` boundaries): ``C =
+   ceil(local_rows / S * slack)``; dropped rows are *counted* and surfaced,
+   and the driver retries with doubled slack so results are always exact.
+2. **Skew / heavy-hitter handling (the EP analogue).**  Zipf heads break
+   hash-sharding — at α=1.25 one key is ~21% of the probe relation, so its
+   owner shard would receive ~S× the average bucket.  A sample-based plan
+   (``plan_hot_keys``) finds hot keys; build rows with hot keys are
+   *replicated* to every shard via ``all_gather`` (they are few — the build
+   side is roughly unique), and hot probe rows never travel: each shard
+   probes its local hot rows against the replicated hot table.  Cold rows
+   take path 1.  Match counts are unchanged by construction: hot and cold
+   probe rows are disjoint by key.
+3. **Local join + global count.**  Each shard builds a flat hash table over
+   its received cold build rows and probes its received cold probe rows
+   (ops/hash_table.py kernels, valid-masked for padding); ``psum`` replaces
+   the reference's global atomic counter (NoPartitioning/HashJoin.hpp:156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from partitionedhashjoin_tpu.data.table import Table
+from partitionedhashjoin_tpu.ops import hash_table as ht
+from partitionedhashjoin_tpu.ops import hashing
+from partitionedhashjoin_tpu.parallel.mesh import SHARD_AXIS
+from partitionedhashjoin_tpu.utils.logger import get_new_logger
+from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
+
+_shard_map = jax.shard_map if hasattr(jax, "shard_map") else None
+if _shard_map is None:  # pragma: no cover - jax version fallback
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def _owner_shard(keys, seed, num_shards: int):
+    """Owner shard of a key: hash % S (pow2 mask like partition_ids)."""
+    if num_shards & (num_shards - 1):
+        raise ValueError(f"num_shards must be a power of 2, got {num_shards}")
+    h = hashing.hash32(keys, seed)
+    return (h & jnp.uint32(num_shards - 1)).astype(jnp.int32)
+
+
+def _bucketize(dest, valid, capacity: int, num_shards: int, *columns):
+    """Pack rows into (num_shards * capacity) send buckets by destination.
+
+    Stable within destination.  Returns (bucketed_columns..., bucket_valid,
+    dropped_count).  Rows beyond a bucket's capacity are dropped and counted.
+    """
+    n = dest.shape[0]
+    d = jnp.where(valid, dest, num_shards)  # invalid -> dump partition
+    sorted_cols = jax.lax.sort(
+        (d,) + tuple(columns), num_keys=1, is_stable=True
+    )
+    d_s, cols_s = sorted_cols[0], sorted_cols[1:]
+    hist = jnp.zeros((num_shards + 1,), jnp.int32).at[d].add(1)
+    offs = jnp.cumsum(hist) - hist
+    rank = jnp.arange(n, dtype=jnp.int32) - offs[d_s]
+    in_bucket = (d_s < num_shards) & (rank < capacity)
+    dst = jnp.where(in_bucket, d_s * capacity + rank, num_shards * capacity)
+    total = num_shards * capacity
+    out_cols = tuple(
+        jnp.zeros((total,), c.dtype).at[dst].set(c, mode="drop")
+        for c in cols_s
+    )
+    bucket_valid = (
+        jnp.zeros((total,), jnp.bool_)
+        .at[dst]
+        .set(jnp.ones((n,), jnp.bool_), mode="drop")
+    )
+    dropped = jnp.sum(((d_s < num_shards) & (rank >= capacity)).astype(jnp.int32))
+    return out_cols + (bucket_valid, dropped)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShuffleStats:
+    """Exactness accounting: any nonzero drop count means a retry is needed."""
+
+    dropped_a: jax.Array
+    dropped_b: jax.Array
+    dropped_hot: jax.Array
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cap_a", "cap_b", "hot_cap", "use_hot"),
+)
+def _exchange(
+    mesh: Mesh,
+    keys_a,
+    pays_a,
+    keys_b,
+    pays_b,
+    shard_seed,
+    hot_keys,
+    hot_valid,
+    hot_seed,
+    cap_a: int,
+    cap_b: int,
+    hot_cap: int,
+    use_hot: bool,
+):
+    """Partition phase: bucketize + all_to_all both relations; replicate hot
+    build rows.  Returns per-shard received rows (+ masks), local hot probe
+    masks, replicated hot build rows, and drop stats."""
+
+    def local(keys_a, pays_a, keys_b, pays_b, shard_seed, hot_keys, hot_valid, hot_seed):
+        num_shards = jax.lax.axis_size(SHARD_AXIS)
+        shard_seed_ = shard_seed[0]
+        if use_hot:
+            hot_filter = ht.build_hash_table(
+                hot_keys,
+                hot_seed[0],
+                ht.table_size_for(hot_keys.shape[0]),
+                valid=hot_valid,
+                has_valid=True,
+            )
+            is_hot_a = ht.probe_exists(hot_filter, keys_a)
+            is_hot_b = ht.probe_exists(hot_filter, keys_b)
+        else:
+            is_hot_a = jnp.zeros(keys_a.shape, jnp.bool_)
+            is_hot_b = jnp.zeros(keys_b.shape, jnp.bool_)
+
+        # cold rows travel to their owner shard
+        dest_a = _owner_shard(keys_a, shard_seed_, num_shards)
+        dest_b = _owner_shard(keys_b, shard_seed_, num_shards)
+        bk_a, bp_a, bv_a, drop_a = _bucketize(
+            dest_a, ~is_hot_a, cap_a, num_shards, keys_a, pays_a
+        )
+        bk_b, bp_b, bv_b, drop_b = _bucketize(
+            dest_b, ~is_hot_b, cap_b, num_shards, keys_b, pays_b
+        )
+
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x.reshape(num_shards, -1),
+                SHARD_AXIS,
+                split_axis=0,
+                concat_axis=0,
+            ).reshape(-1)
+
+        rk_a, rp_a, rv_a = a2a(bk_a), a2a(bp_a), a2a(bv_a)
+        rk_b, rp_b, rv_b = a2a(bk_b), a2a(bp_b), a2a(bv_b)
+
+        # hot build rows are replicated everywhere (all_gather); hot probe
+        # rows stay local (is_hot_b mask re-used in the probe phase)
+        if use_hot:
+            zero = jnp.zeros((hot_cap,), jnp.int32)
+            hot_sorted = jax.lax.sort(
+                (jnp.where(is_hot_a, 0, 1), keys_a, pays_a),
+                num_keys=1,
+                is_stable=True,
+            )
+            n_hot = jnp.sum(is_hot_a.astype(jnp.int32))
+            take = jnp.arange(hot_cap, dtype=jnp.int32)
+            hk_local = jnp.where(take < n_hot, hot_sorted[1][:hot_cap], zero)
+            hp_local = jnp.where(take < n_hot, hot_sorted[2][:hot_cap], zero)
+            hv_local = take < n_hot
+            drop_hot = jnp.maximum(n_hot - hot_cap, 0)
+            hk = jax.lax.all_gather(hk_local, SHARD_AXIS).reshape(-1)
+            hp = jax.lax.all_gather(hp_local, SHARD_AXIS).reshape(-1)
+            hv = jax.lax.all_gather(hv_local, SHARD_AXIS).reshape(-1)
+        else:
+            s = num_shards * hot_cap
+            hk = jnp.zeros((s,), jnp.int32)
+            hp = jnp.zeros((s,), jnp.int32)
+            hv = jnp.zeros((s,), jnp.bool_)
+            drop_hot = jnp.asarray(0, jnp.int32)
+
+        stats = ShuffleStats(
+            dropped_a=jax.lax.psum(drop_a, SHARD_AXIS),
+            dropped_b=jax.lax.psum(drop_b, SHARD_AXIS),
+            dropped_hot=jax.lax.psum(drop_hot, SHARD_AXIS),
+        )
+        return rk_a, rp_a, rv_a, rk_b, rp_b, rv_b, is_hot_b, hk, hp, hv, stats
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, sh, rep, rep, rep, rep),
+        out_specs=(sh, sh, sh, sh, sh, sh, sh, rep, rep, rep, rep),
+        check_vma=False,
+    )(
+        keys_a,
+        pays_a,
+        keys_b,
+        pays_b,
+        jnp.reshape(shard_seed, (1,)),
+        hot_keys,
+        hot_valid,
+        jnp.reshape(hot_seed, (1,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "table_size"))
+def _build_local_tables(mesh: Mesh, recv_keys_a, recv_valid_a, bucket_seed, table_size: int):
+    """Build phase: one flat hash table per shard over received cold rows."""
+
+    def local(keys, valid, seed):
+        table = ht.build_hash_table(
+            keys, seed[0], table_size, valid=valid, has_valid=True
+        )
+        return (
+            table.slot_keys,
+            table.slot_rows,
+            jnp.reshape(table.max_probe, (1,)),
+        )
+
+    sh = P(SHARD_AXIS)
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, P()),
+        out_specs=(sh, sh, sh),
+        check_vma=False,
+    )(recv_keys_a, recv_valid_a, jnp.reshape(bucket_seed, (1,)))
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "use_hot", "hot_table_size"))
+def _probe_and_count(
+    mesh: Mesh,
+    slot_keys,
+    slot_rows,
+    max_probes,
+    bucket_seed,
+    recv_keys_b,
+    recv_valid_b,
+    keys_b,
+    is_hot_b,
+    hot_keys_a,
+    hot_valid_a,
+    hot_build_seed,
+    use_hot: bool,
+    hot_table_size: int,
+):
+    """Probe phase: cold rows vs local table, hot rows vs replicated hot
+    table; psum for the global count (HashJoin.hpp:156's atomic analogue)."""
+    if use_hot:
+        hot_table = ht.build_hash_table(
+            hot_keys_a,
+            hot_build_seed,
+            hot_table_size,
+            valid=hot_valid_a,
+            has_valid=True,
+        )
+    else:
+        hot_table = ht.HashTable(  # unused placeholder, keeps arity static
+            slot_keys=jnp.zeros((1,), jnp.int32),
+            slot_rows=jnp.full((1,), -1, jnp.int32),
+            max_probe=jnp.asarray(0, jnp.int32),
+            seed=jnp.asarray(0, jnp.uint32),
+        )
+
+    def local(slot_keys, slot_rows, max_probe, seed, rkb, rvb, kb, ihb, hot_tbl):
+        table = ht.HashTable(
+            slot_keys=slot_keys,
+            slot_rows=slot_rows,
+            max_probe=max_probe[0],
+            seed=seed[0],
+        )
+        found_cold = ht.probe_exists(table, rkb, valid=rvb)
+        count = jnp.sum(found_cold.astype(jnp.int32))
+        if use_hot:
+            found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
+            count = count + jnp.sum(found_hot.astype(jnp.int32))
+        return jnp.reshape(jax.lax.psum(count, SHARD_AXIS), (1,))
+
+    sh = P(SHARD_AXIS)
+    out = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, P(), sh, sh, sh, sh, P()),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        slot_keys,
+        slot_rows,
+        max_probes,
+        jnp.reshape(bucket_seed, (1,)),
+        recv_keys_b,
+        recv_valid_b,
+        keys_b,
+        is_hot_b,
+        hot_table,
+    )
+    return out[0]
+
+
+def plan_hot_keys(
+    keys: jax.Array,
+    sample_size: int,
+    capacity: int,
+    min_frac: float,
+    seed: int = 0,
+):
+    """Sample-based heavy-hitter detection (SURVEY.md §7 step 7).
+
+    Strided sample of ``sample_size`` keys → GROUP BY count → top
+    ``capacity`` keys with sample frequency ≥ ``min_frac``.  Returns
+    (hot_keys int32[capacity], hot_valid bool[capacity]); deterministic, so
+    every host computes the same plan.
+    """
+    from partitionedhashjoin_tpu.ops.aggregate import _group_and_aggregate
+
+    n = keys.shape[0]
+    stride = max(1, n // sample_size)
+    sample = jax.lax.slice(keys, (0,), (min(n, stride * sample_size),), (stride,))
+    m = sample.shape[0]
+    g = _group_and_aggregate(
+        sample,
+        jnp.zeros((m,), jnp.int32),
+        jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32),
+        ht.table_size_for(m),
+    )
+    gid_valid = jnp.arange(m, dtype=jnp.int32) < g.num_groups
+    counts = jnp.where(gid_valid, g.count, -1)
+    top_counts, top_idx = jax.lax.top_k(counts, capacity)
+    hot_keys = g.keys[top_idx]
+    min_count = max(1, int(min_frac * m))
+    hot_valid = top_counts >= min_count
+    return hot_keys, hot_valid
+
+
+class DistributedShuffleJoiner:
+    """Mesh-parallel shuffle hash join driver.
+
+    Phases map onto the reference timer (utils/results.py): partition =
+    exchange (bucketize + all_to_all + hot replication), build = per-shard
+    table build, probe = cold+hot probe with psum count.  ``slack`` controls
+    static bucket capacity; on overflow the run retries with doubled slack
+    (shapes recompile) so returned counts are always exact.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        seed: Optional[int] = None,
+        slack: float = 2.0,
+        handle_skew: bool = True,
+        hot_capacity: int = 64,
+        hot_sample: int = 16_384,
+        hot_min_frac: float = 0.005,
+        max_retries: int = 3,
+    ) -> None:
+        self._mesh = mesh
+        self._num_shards = int(mesh.devices.size)
+        if self._num_shards & (self._num_shards - 1):
+            raise ValueError("mesh size must be a power of 2")
+        if seed is None:
+            import numpy as _np
+
+            seed = int(_np.random.SeedSequence().entropy & 0xFFFFFFFF)
+        self._shard_seed = jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32)
+        self._bucket_seed = jnp.asarray(
+            (seed ^ 0xC2B2AE35) & 0xFFFFFFFF, jnp.uint32
+        )
+        self._hot_seed = jnp.asarray(
+            (seed ^ 0x9E3779B9) & 0xFFFFFFFF, jnp.uint32
+        )
+        self._slack = slack
+        self._handle_skew = handle_skew
+        self._hot_capacity = hot_capacity
+        self._hot_sample = hot_sample
+        self._hot_min_frac = hot_min_frac
+        self._max_retries = max_retries
+        self._logger = get_new_logger("DistributedShuffleJoiner")
+
+    def _capacity(self, rows_per_shard: int, slack: float) -> int:
+        per_dest = rows_per_shard / self._num_shards
+        return max(16, int(per_dest * slack + 1))
+
+    def run(
+        self,
+        table_a: Table,
+        table_b: Table,
+        timer: Optional[IHashJoinTimer] = None,
+    ) -> int:
+        timer = timer or NoOpHashJoinTimer()
+        s = self._num_shards
+        if table_a.size % s or table_b.size % s:
+            raise ValueError("relation sizes must divide the shard count")
+        use_hot = self._handle_skew
+        if use_hot:
+            hot_keys, hot_valid = plan_hot_keys(
+                table_b.keys,
+                self._hot_sample,
+                self._hot_capacity,
+                self._hot_min_frac,
+                seed=int(self._hot_seed),
+            )
+        else:
+            hot_keys = jnp.zeros((self._hot_capacity,), jnp.int32)
+            hot_valid = jnp.zeros((self._hot_capacity,), jnp.bool_)
+
+        slack = self._slack
+        for attempt in range(self._max_retries):
+            cap_a = self._capacity(table_a.size // s, slack)
+            cap_b = self._capacity(table_b.size // s, slack)
+            hot_cap = self._hot_capacity
+
+            timer.set_partitioning_phase_begin()
+            (
+                rk_a, rp_a, rv_a, rk_b, rp_b, rv_b,
+                is_hot_b, hk, hp, hv, stats,
+            ) = _exchange(
+                self._mesh,
+                table_a.keys,
+                table_a.payloads,
+                table_b.keys,
+                table_b.payloads,
+                self._shard_seed,
+                hot_keys,
+                hot_valid,
+                self._hot_seed,
+                cap_a,
+                cap_b,
+                hot_cap,
+                use_hot,
+            )
+            dropped = jax.block_until_ready(
+                (stats.dropped_a, stats.dropped_b, stats.dropped_hot)
+            )
+            timer.set_partitioning_phase_end()
+            if any(int(d) > 0 for d in dropped):
+                self._logger.info(
+                    "bucket overflow (a=%d b=%d hot=%d) at slack %.1f; retrying",
+                    int(dropped[0]), int(dropped[1]), int(dropped[2]), slack,
+                )
+                slack *= 2
+                continue
+
+            table_size = ht.table_size_for(s * cap_a)
+            timer.set_build_phase_begin()
+            slot_keys, slot_rows, max_probes = _build_local_tables(
+                self._mesh, rk_a, rv_a, self._bucket_seed, table_size
+            )
+            jax.block_until_ready(slot_rows)
+            timer.set_build_phase_end()
+
+            timer.set_probe_phase_begin()
+            count = _probe_and_count(
+                self._mesh,
+                slot_keys,
+                slot_rows,
+                max_probes,
+                self._bucket_seed,
+                rk_b,
+                rv_b,
+                table_b.keys,
+                is_hot_b,
+                hk,
+                hv,
+                self._hot_seed,
+                use_hot,
+                ht.table_size_for(hk.shape[0]),
+            )
+            count = int(jax.block_until_ready(count))
+            timer.set_probe_phase_end()
+            self._logger.info("Number of joined tuples: %d", count)
+            return count
+        raise RuntimeError(
+            f"shuffle buckets overflowed after {self._max_retries} retries"
+        )

@@ -1,0 +1,139 @@
+"""Extended operator suite tests: filter, hash aggregate, sorts.
+
+These operators have no reference counterpart (they are the db_exec_kernel
+extension, BASELINE.json north star / configs[3]); oracles are numpy.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.data.table import make_table
+from partitionedhashjoin_tpu.ops import hash_table as ht
+from partitionedhashjoin_tpu.ops.aggregate import hash_aggregate
+from partitionedhashjoin_tpu.ops.filter import compact, filter_table
+from partitionedhashjoin_tpu.ops.generators import zipf_table
+from partitionedhashjoin_tpu.ops.sort import (
+    radix_sort,
+    radix_sort_table,
+    sort_table,
+)
+
+
+class TestFilter:
+    def test_compact_is_stable_and_exact(self):
+        rng = np.random.default_rng(0)
+        mask = rng.random(2000) < 0.3
+        vals = rng.integers(-1000, 1000, 2000).astype(np.int32)
+        count, out = compact(jnp.asarray(mask), jnp.asarray(vals))
+        c = int(count)
+        assert c == mask.sum()
+        np.testing.assert_array_equal(np.asarray(out)[:c], vals[mask])
+
+    def test_filter_table_predicate(self):
+        rng = np.random.default_rng(1)
+        keys = rng.integers(0, 100, 5000).astype(np.int32)
+        pay = rng.integers(-50, 50, 5000).astype(np.int32)
+        t = make_table(keys, pay)
+        ft, count = filter_table(t, lambda k, p: (k % 2 == 0) & (p > 0))
+        sel = (keys % 2 == 0) & (pay > 0)
+        c = int(count)
+        assert c == sel.sum()
+        np.testing.assert_array_equal(np.asarray(ft.keys)[:c], keys[sel])
+        np.testing.assert_array_equal(np.asarray(ft.payloads)[:c], pay[sel])
+
+    def test_all_and_none_selected(self):
+        t = make_table(
+            np.arange(100, dtype=np.int32), np.arange(100, dtype=np.int32)
+        )
+        _, count_all = filter_table(t, lambda k, p: k >= 0)
+        _, count_none = filter_table(t, lambda k, p: k < 0)
+        assert int(count_all) == 100 and int(count_none) == 0
+
+
+class TestHashAggregate:
+    def _check(self, keys, pay, seed=5):
+        g = hash_aggregate(make_table(keys, pay), seed=seed)
+        num = int(g.num_groups)
+        assert num == len(np.unique(keys))
+        gk = np.asarray(g.keys)[:num]
+        assert sorted(gk.tolist()) == np.unique(keys).tolist()
+        for i, k in enumerate(gk):
+            sel = keys == k
+            assert int(g.count[i]) == sel.sum()
+            assert int(g.sum[i]) == pay[sel].sum()
+            assert int(g.min[i]) == pay[sel].min()
+            assert int(g.max[i]) == pay[sel].max()
+        gid = np.asarray(g.group_of_row)
+        np.testing.assert_array_equal(gk[gid], keys)
+
+    def test_random_groups(self):
+        rng = np.random.default_rng(2)
+        keys = rng.integers(0, 37, 4000).astype(np.int32)
+        pay = rng.integers(-100, 100, 4000).astype(np.int32)
+        self._check(keys, pay)
+
+    def test_all_unique_and_all_same(self):
+        n = 500
+        self._check(np.arange(n, dtype=np.int32), np.ones(n, np.int32))
+        self._check(np.full(n, 7, np.int32), np.arange(n, dtype=np.int32))
+
+    def test_zipf_skew_does_not_explode_chains(self):
+        # the dedup claim loop must be O(distinct chain), not O(duplication):
+        # heavily skewed input with a hot key covering ~25% of rows.
+        b = zipf_table(20_000, alpha=1.25, key_range=(1, 500), seed=4)
+        keys = np.asarray(b.keys)
+        pay = np.asarray(b.payloads)
+        self._check(keys, pay)
+
+    def test_dedup_table_rep_rows_share_key(self):
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 20, 1000).astype(np.int32)
+        _, rep = ht.build_dedup_hash_table(
+            jnp.asarray(keys), jnp.uint32(9), ht.table_size_for(1000)
+        )
+        rep = np.asarray(rep)
+        # same key -> same representative; rep's key == own key
+        np.testing.assert_array_equal(keys[rep], keys)
+        for k in np.unique(keys):
+            assert len(np.unique(rep[keys == k])) == 1
+
+
+class TestSort:
+    def test_sort_table_matches_numpy(self):
+        rng = np.random.default_rng(4)
+        keys = rng.integers(-(2**31), 2**31 - 1, 3000, dtype=np.int32)
+        t = sort_table(make_table(keys, np.arange(3000, dtype=np.int32)))
+        np.testing.assert_array_equal(np.asarray(t.keys), np.sort(keys))
+
+    @pytest.mark.parametrize("bits", [4, 8, 16])
+    def test_radix_sort_signed_full_range(self, bits):
+        rng = np.random.default_rng(bits)
+        keys = rng.integers(-(2**31), 2**31 - 1, 2048, dtype=np.int32)
+        out_keys, perm = radix_sort(
+            jnp.asarray(keys),
+            jnp.arange(2048, dtype=jnp.int32),
+            bits_per_pass=bits,
+        )
+        np.testing.assert_array_equal(np.asarray(out_keys), np.sort(keys))
+        # payload permutation consistent with key order
+        np.testing.assert_array_equal(keys[np.asarray(perm)], np.asarray(out_keys))
+
+    def test_radix_sort_stability(self):
+        # duplicate keys keep original relative payload order
+        keys = np.array([3, 1, 3, 1, 3, 2], np.int32)
+        out_keys, pay = radix_sort(
+            jnp.asarray(keys), jnp.arange(6, dtype=jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(out_keys), [1, 1, 2, 3, 3, 3])
+        np.testing.assert_array_equal(np.asarray(pay), [1, 3, 5, 0, 2, 4])
+
+    def test_radix_sort_table_roundtrip(self):
+        rng = np.random.default_rng(6)
+        keys = rng.integers(-500, 500, 1000).astype(np.int32)
+        t = radix_sort_table(make_table(keys, np.arange(1000, dtype=np.int32)))
+        np.testing.assert_array_equal(np.asarray(t.keys), np.sort(keys))
+
+    def test_radix_sort_rejects_bad_bits(self):
+        with pytest.raises(ValueError):
+            radix_sort(jnp.arange(4, dtype=jnp.int32), bits_per_pass=5)

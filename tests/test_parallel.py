@@ -1,0 +1,138 @@
+"""Multi-chip shuffle-join tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed backend (SURVEY.md §2); these validate the
+TPU-native scale-out design: hash-sharded all_to_all exchange, per-shard
+local joins, psum counts, heavy-hitter replication for Zipf skew, and the
+overflow-retry exactness guarantee.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.data.table import make_table
+from partitionedhashjoin_tpu.ops.generators import sequential_table, zipf_table
+from partitionedhashjoin_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_multiple,
+    shard_table,
+)
+from partitionedhashjoin_tpu.parallel.shuffle import (
+    DistributedShuffleJoiner,
+    plan_hot_keys,
+)
+from partitionedhashjoin_tpu.utils.results import HashJoinTimer, Parameters
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_mesh_and_sharding(mesh8):
+    t = shard_table(sequential_table(800), mesh8)
+    assert t.size == 800
+    np.testing.assert_array_equal(np.asarray(t.keys), np.arange(1, 801))
+
+
+def test_shard_table_rejects_indivisible(mesh8):
+    with pytest.raises(ValueError):
+        shard_table(sequential_table(801), mesh8)
+
+
+def test_pad_to_multiple():
+    arr, n = pad_to_multiple(jnp.arange(10, dtype=jnp.int32), 8, -1)
+    assert arr.shape[0] == 16 and n == 10
+    assert np.asarray(arr)[-1] == -1
+
+
+def test_uniform_join_matches_oracle(mesh8):
+    rng = np.random.default_rng(1)
+    n_a, n_b = 4096, 16384
+    a_keys = rng.choice(np.arange(1, 10000, dtype=np.int32), n_a, replace=False)
+    b_keys = rng.integers(1, 10000, n_b).astype(np.int32)
+    a = shard_table(make_table(a_keys, np.arange(n_a, dtype=np.int32)), mesh8)
+    b = shard_table(make_table(b_keys, np.arange(n_b, dtype=np.int32)), mesh8)
+    count = DistributedShuffleJoiner(mesh8, seed=3).run(a, b)
+    assert count == int(np.isin(b_keys, a_keys).sum())
+
+
+def test_matches_single_chip_joiner(mesh8):
+    from partitionedhashjoin_tpu.ops.no_partitioning import (
+        NoPartitioningHashJoiner,
+    )
+
+    rng = np.random.default_rng(2)
+    a_keys = rng.integers(0, 5000, 2048).astype(np.int32)  # with duplicates
+    b_keys = rng.integers(0, 5000, 8192).astype(np.int32)
+    a = make_table(a_keys, np.arange(2048, dtype=np.int32))
+    b = make_table(b_keys, np.arange(8192, dtype=np.int32))
+    c_single = NoPartitioningHashJoiner(seed=1).run(a, b)
+    c_dist = DistributedShuffleJoiner(mesh8, seed=4).run(
+        shard_table(a, mesh8), shard_table(b, mesh8)
+    )
+    assert c_single == c_dist
+
+
+@pytest.mark.parametrize("alpha", [1.05, 1.25])
+def test_zipf_skew_exact_count_with_hot_keys(mesh8, alpha):
+    n = 4096
+    a = shard_table(sequential_table(n), mesh8)
+    b = zipf_table(32768, alpha=alpha, key_range=(1, n), seed=11)
+    count = DistributedShuffleJoiner(mesh8, seed=5).run(
+        a, shard_table(b, mesh8)
+    )
+    assert count == 32768
+
+
+def test_zipf_skew_exact_without_hot_handling_via_retry(mesh8):
+    # with skew handling off, the hot shard's buckets overflow at default
+    # slack; the driver must retry with doubled slack and still be exact.
+    n = 4096
+    a = shard_table(sequential_table(n), mesh8)
+    b = zipf_table(32768, alpha=1.25, key_range=(1, n), seed=13)
+    joiner = DistributedShuffleJoiner(mesh8, seed=6, handle_skew=False)
+    assert joiner.run(a, shard_table(b, mesh8)) == 32768
+
+
+def test_plan_hot_keys_finds_the_zipf_head(mesh8):
+    b = zipf_table(32768, alpha=1.25, key_range=(1, 4096), seed=17)
+    hot_keys, hot_valid = plan_hot_keys(
+        b.keys, sample_size=8192, capacity=16, min_frac=0.01, seed=1
+    )
+    hot = set(np.asarray(hot_keys)[np.asarray(hot_valid)].tolist())
+    # key 1 holds ~21% of a Zipf(1.25) relation; it must be detected
+    assert 1 in hot
+    # and everything flagged hot must actually be frequent
+    keys = np.asarray(b.keys)
+    for k in hot:
+        assert (keys == k).sum() > 32768 * 0.005
+
+
+def test_timer_phases_recorded(mesh8):
+    a = shard_table(sequential_table(2048), mesh8)
+    b = shard_table(
+        zipf_table(8192, alpha=1.05, key_range=(1, 2048), seed=19), mesh8
+    )
+    timer = HashJoinTimer(Parameters())
+    DistributedShuffleJoiner(mesh8, seed=7).run(a, b, timer)
+    r = timer.get_result()
+    assert r.get_partitioning_phase_duration() > 0
+    assert r.get_build_phase_duration() > 0
+    assert r.get_probe_phase_duration() > 0
+
+
+def test_small_mesh_sizes():
+    for s in (1, 2, 4):
+        mesh = make_mesh(s)
+        rng = np.random.default_rng(s)
+        a_keys = rng.integers(0, 3000, 1024).astype(np.int32)
+        b_keys = rng.integers(0, 3000, 4096).astype(np.int32)
+        a = make_table(a_keys, np.arange(1024, dtype=np.int32))
+        b = make_table(b_keys, np.arange(4096, dtype=np.int32))
+        count = DistributedShuffleJoiner(mesh, seed=8).run(
+            shard_table(a, mesh), shard_table(b, mesh)
+        )
+        assert count == int(np.isin(b_keys, a_keys).sum())

@@ -1,0 +1,89 @@
+"""Sort-merge join tests: the gather-free count-join path.
+
+Validates Get-semantics counts, GetAll cardinalities, full-domain exactness
+(including INT32_MIN keys — the implementation is sentinel-free), validity
+masks for padded inputs, and agreement with the hash-join path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.data.table import make_table
+from partitionedhashjoin_tpu.ops.generators import sequential_table, zipf_table
+from partitionedhashjoin_tpu.ops.sort_merge import (
+    SortMergeJoiner,
+    sort_merge_count,
+    sort_merge_count_all,
+)
+
+
+def test_count_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 500, 2000).astype(np.int32)
+    b = rng.integers(0, 700, 5000).astype(np.int32)
+    got = int(sort_merge_count(jnp.asarray(a), jnp.asarray(b)))
+    assert got == int(np.isin(b, a).sum())
+
+
+def test_count_all_matches_inner_join_cardinality():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 50, 1500).astype(np.int32)  # heavy duplicates
+    b = rng.integers(0, 60, 4000).astype(np.int32)
+    got = int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b)))
+    mult = np.bincount(a, minlength=60)
+    assert got == int(mult[b].sum())
+
+
+def test_full_int32_domain_including_int_min():
+    lo = np.iinfo(np.int32).min
+    a = np.array([lo, lo, -1, 0, 7], np.int32)
+    b = np.array([lo, 0, 7, 12, lo + 1], np.int32)
+    assert int(sort_merge_count(jnp.asarray(a), jnp.asarray(b))) == 3
+    assert int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b))) == 4
+
+
+def test_validity_masks_exclude_padding():
+    a = np.array([1, 2, 3, 99, 99], np.int32)
+    av = np.array([True, True, True, False, False])
+    b = np.array([1, 99, 3, 99, 4], np.int32)
+    bv = np.array([True, True, True, False, True])
+    got = int(
+        sort_merge_count(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(av), jnp.asarray(bv)
+        )
+    )
+    # valid matches: b=1 and b=3; the valid b=99 must NOT match the invalid
+    # build 99s, and the invalid b=99 must not count at all
+    assert got == 2
+
+
+def test_agrees_with_hash_join():
+    from partitionedhashjoin_tpu.ops.no_partitioning import (
+        NoPartitioningHashJoiner,
+    )
+
+    rng = np.random.default_rng(2)
+    a_keys = rng.integers(-3000, 3000, 2500).astype(np.int32)
+    b_keys = rng.integers(-3000, 3000, 9000).astype(np.int32)
+    a = make_table(a_keys, np.arange(2500, dtype=np.int32))
+    b = make_table(b_keys, np.arange(9000, dtype=np.int32))
+    assert SortMergeJoiner().run(a, b) == NoPartitioningHashJoiner(seed=1).run(
+        a, b
+    )
+
+
+def test_benchmark_invariant():
+    n = 3000
+    a = sequential_table(n)
+    b = zipf_table(12_000, alpha=1.25, key_range=(1, n), seed=5)
+    assert SortMergeJoiner().run(a, b) == 12_000
+
+
+def test_empty_intersection():
+    a = make_table(
+        np.arange(0, 100, dtype=np.int32), np.zeros(100, np.int32)
+    )
+    b = make_table(
+        np.arange(100, 200, dtype=np.int32), np.zeros(100, np.int32)
+    )
+    assert SortMergeJoiner().run(a, b) == 0
