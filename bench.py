@@ -1,0 +1,122 @@
+"""Benchmark: the reference workload (10M ⋈ 200M, Zipf skew) on one TPU chip.
+
+Mirrors the reference driver's measurement (src/main.cpp:210-293: generate →
+join → emit JSON) and prints ONE machine-readable JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+The headline metric is end-to-end join throughput (probe rows per second over
+all join phases) for the flagship sort-merge joiner on the reference's
+default workload (10M sequential primary ⋈ 200M Zipf(1.05) secondary,
+Readme.md:58).  ``vs_baseline`` compares against the reference's best
+end-to-end grid point: radix join at P=2048, 820+17+359 = 1196 ms for 200M
+rows = 167.2M rows/s on an 8C/16T Ryzen 3700X (BASELINE.md, results/1.05/).
+
+Env knobs: PHJ_BENCH_PRIMARY, PHJ_BENCH_SECONDARY, PHJ_BENCH_SKEW,
+PHJ_BENCH_ALGOS (comma list: sort-merge,no-partitioning,radix).
+Details per phase go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from partitionedhashjoin_tpu.data.table import Table  # noqa: E402
+from partitionedhashjoin_tpu.ops.generators import (  # noqa: E402
+    sequential_table,
+    zipf_keys,
+)
+from partitionedhashjoin_tpu.utils.device import sync  # noqa: E402
+from partitionedhashjoin_tpu.utils.results import (  # noqa: E402
+    HashJoinTimer,
+    Parameters,
+)
+
+#: Reference best end-to-end throughput (rows/s): radix P=2048 at skew 1.05,
+#: 1196 ms total for 200M probe rows (BASELINE.md grid).
+BASELINE_ROWS_PER_S = 200e6 / 1.196
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_joiner(name: str, seed: int):
+    if name == "sort-merge":
+        from partitionedhashjoin_tpu.ops.sort_merge import SortMergeJoiner
+
+        return SortMergeJoiner()
+    if name == "no-partitioning":
+        from partitionedhashjoin_tpu.ops.no_partitioning import (
+            NoPartitioningHashJoiner,
+        )
+
+        return NoPartitioningHashJoiner(seed=seed)
+    if name == "radix":
+        from partitionedhashjoin_tpu.config import RadixClusteringConfiguration
+        from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
+
+        return RadixHashJoiner(
+            RadixClusteringConfiguration(number_of_partitions=256), seed=seed
+        )
+    raise ValueError(f"unknown algo {name}")
+
+
+def main() -> None:
+    n_a = int(os.environ.get("PHJ_BENCH_PRIMARY", 10_000_000))
+    n_b = int(os.environ.get("PHJ_BENCH_SECONDARY", 200_000_000))
+    skew = float(os.environ.get("PHJ_BENCH_SKEW", 1.05))
+    algos = os.environ.get("PHJ_BENCH_ALGOS", "sort-merge").split(",")
+    log(f"device: {jax.devices()[0]}; workload {n_a} ⋈ {n_b}, skew {skew}")
+
+    t0 = time.perf_counter()
+    table_a = sequential_table(n_a)
+    ids = zipf_keys(jax.random.PRNGKey(20260816), n_b, skew, n_a)
+    table_b = Table(keys=ids, payloads=jnp.arange(n_b, dtype=jnp.int32))
+    sync((table_a.keys, table_b.keys))
+    log(f"generate: {time.perf_counter() - t0:.1f}s")
+
+    best = None
+    for algo in algos:
+        joiner = make_joiner(algo, seed=7)
+        count = joiner.run(table_a, table_b)  # warmup/compile
+        assert count == n_b, f"{algo}: count {count} != {n_b}"
+        timer = HashJoinTimer(Parameters())
+        t0 = time.perf_counter()
+        count = joiner.run(table_a, table_b, timer)
+        total_s = time.perf_counter() - t0
+        assert count == n_b
+        r = timer.get_result()
+        log(
+            f"{algo}: total {total_s * 1e3:.0f} ms "
+            f"(partition {r.get_partitioning_phase_duration() * 1e3:.0f} / "
+            f"build {r.get_build_phase_duration() * 1e3:.0f} / "
+            f"probe {r.get_probe_phase_duration() * 1e3:.0f} ms) -> "
+            f"{n_b / total_s / 1e6:.0f}M rows/s"
+        )
+        rows_per_s = n_b / total_s
+        if best is None or rows_per_s > best[1]:
+            best = (algo, rows_per_s)
+
+    algo, rows_per_s = best
+    log(f"best: {algo}")
+    print(
+        json.dumps(
+            {
+                "metric": f"join_rows_per_s_{algo}_{n_a}x{n_b}_skew{skew}",
+                "value": round(rows_per_s),
+                "unit": "rows/s",
+                "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

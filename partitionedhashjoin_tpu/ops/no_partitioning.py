@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
 from partitionedhashjoin_tpu.data.table import JoinedTable, Table
 from partitionedhashjoin_tpu.ops import hash_table as ht
+from partitionedhashjoin_tpu.utils.device import sync
 from partitionedhashjoin_tpu.utils.logger import get_new_logger
 from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
 
@@ -100,7 +101,7 @@ class NoPartitioningHashJoiner:
     def build(self, table_a: Table) -> ht.HashTable:
         size = ht.table_size_for(table_a.size, self._size_ratio)
         table = _build(table_a.keys, self._seed, size)
-        jax.block_until_ready(table.slot_rows)
+        sync(table.slot_rows)
         return table
 
     def run(
@@ -117,7 +118,7 @@ class NoPartitioningHashJoiner:
 
         timer.set_probe_phase_begin()
         count = _probe_count(hash_tbl, table_b.keys)
-        count = int(jax.block_until_ready(count))
+        count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count
@@ -138,7 +139,7 @@ class NoPartitioningHashJoiner:
         keys, pay_a, pay_b, count = _probe_gather(
             hash_tbl, table_b.keys, table_a.payloads, table_b.payloads
         )
-        jax.block_until_ready(count)
+        sync(count)
         timer.set_probe_phase_end()
         return JoinedTable(
             keys=keys, payloads_a=pay_a, payloads_b=pay_b, count=count

@@ -33,6 +33,7 @@ from partitionedhashjoin_tpu.config import RadixClusteringConfiguration
 from partitionedhashjoin_tpu.data.table import Table
 from partitionedhashjoin_tpu.ops import hash_table as ht
 from partitionedhashjoin_tpu.ops import radix
+from partitionedhashjoin_tpu.utils.device import sync
 from partitionedhashjoin_tpu.utils.logger import get_new_logger
 from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
 
@@ -133,7 +134,7 @@ class RadixHashJoiner:
             self._part_seed,
             p,
         )
-        jax.block_until_ready((part_a.keys, part_b.keys))
+        sync((part_a.keys, part_b.keys))
         timer.set_partitioning_phase_end()
 
         capacity = ht.segmented_capacity(table_a.size, p)
@@ -141,12 +142,12 @@ class RadixHashJoiner:
         seg_table = _build_phase(
             part_a, self._part_seed, self._bucket_seed, capacity, p
         )
-        jax.block_until_ready(seg_table.slot_rows)
+        sync(seg_table.slot_rows)
         timer.set_build_phase_end()
 
         timer.set_probe_phase_begin()
         count = _probe_phase(seg_table, part_b, self._part_seed, p)
-        count = int(jax.block_until_ready(count))
+        count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count

@@ -76,6 +76,9 @@ def _merged_multiplicity(build_keys, probe_keys, build_valid, probe_valid):
     return ~is_build_s, valid_s, mult
 
 
+_I32_MIN = jnp.iinfo(jnp.int32).min
+
+
 @jax.jit
 def sort_merge_count(
     build_keys: jax.Array,
@@ -84,6 +87,33 @@ def sort_merge_count(
     probe_valid=None,
 ) -> jax.Array:
     """Number of (valid) probe rows whose key appears among valid build keys."""
+    if build_valid is None and probe_valid is None:
+        # Fast path: 2-operand sort + one cummax.  ``last_build = running max
+        # of build keys`` equals the most recent build key because keys
+        # ascend; INT32_MIN doubles as "no build key yet", so probe rows with
+        # key INT32_MIN are handled by a separate O(1)-pass correction
+        # instead of a sentinel-free third operand.
+        n_a = build_keys.shape[0]
+        n_b = probe_keys.shape[0]
+        build_keys = jnp.asarray(build_keys, jnp.int32)
+        probe_keys = jnp.asarray(probe_keys, jnp.int32)
+        keys = jnp.concatenate([build_keys, probe_keys])
+        is_build = jnp.concatenate(
+            [jnp.ones((n_a,), jnp.bool_), jnp.zeros((n_b,), jnp.bool_)]
+        )
+        keys_s, is_build_s = jax.lax.sort(
+            (keys, is_build), num_keys=1, is_stable=True
+        )
+        masked = jnp.where(is_build_s, keys_s, _I32_MIN)
+        last_build = jax.lax.cummax(masked)
+        hit = (
+            (~is_build_s) & (last_build == keys_s) & (keys_s != _I32_MIN)
+        )
+        count = jnp.sum(hit.astype(jnp.int32))
+        # correction: probe keys equal to INT32_MIN match iff any build key is
+        min_in_build = jnp.any(build_keys == _I32_MIN)
+        n_min_probe = jnp.sum((probe_keys == _I32_MIN).astype(jnp.int32))
+        return count + jnp.where(min_in_build, n_min_probe, 0)
     is_probe, valid, mult = _merged_multiplicity(
         build_keys, probe_keys, build_valid, probe_valid
     )
@@ -129,7 +159,7 @@ class SortMergeJoiner:
         timer.set_build_phase_end()
         timer.set_probe_phase_begin()
         count = sort_merge_count(table_a.keys, table_b.keys)
-        count = int(jax.block_until_ready(count))
+        count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count

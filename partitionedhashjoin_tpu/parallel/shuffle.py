@@ -42,6 +42,7 @@ from partitionedhashjoin_tpu.data.table import Table
 from partitionedhashjoin_tpu.ops import hash_table as ht
 from partitionedhashjoin_tpu.ops import hashing
 from partitionedhashjoin_tpu.parallel.mesh import SHARD_AXIS
+from partitionedhashjoin_tpu.utils.device import sync
 from partitionedhashjoin_tpu.utils.logger import get_new_logger
 from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
 
@@ -437,7 +438,7 @@ class DistributedShuffleJoiner:
                 hot_cap,
                 use_hot,
             )
-            dropped = jax.block_until_ready(
+            dropped = jax.device_get(
                 (stats.dropped_a, stats.dropped_b, stats.dropped_hot)
             )
             timer.set_partitioning_phase_end()
@@ -454,7 +455,7 @@ class DistributedShuffleJoiner:
             slot_keys, slot_rows, max_probes = _build_local_tables(
                 self._mesh, rk_a, rv_a, self._bucket_seed, table_size
             )
-            jax.block_until_ready(slot_rows)
+            sync(slot_rows)
             timer.set_build_phase_end()
 
             timer.set_probe_phase_begin()
@@ -474,7 +475,7 @@ class DistributedShuffleJoiner:
                 use_hot,
                 ht.table_size_for(hk.shape[0]),
             )
-            count = int(jax.block_until_ready(count))
+            count = int(jax.device_get(count))
             timer.set_probe_phase_end()
             self._logger.info("Number of joined tuples: %d", count)
             return count
