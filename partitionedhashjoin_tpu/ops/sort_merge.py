@@ -104,12 +104,20 @@ def sort_merge_count(
         keys_s, is_build_s = jax.lax.sort(
             (keys, is_build), num_keys=1, is_stable=True
         )
-        masked = jnp.where(is_build_s, keys_s, _I32_MIN)
-        last_build = jax.lax.cummax(masked)
-        hit = (
-            (~is_build_s) & (last_build == keys_s) & (keys_s != _I32_MIN)
-        )
-        count = jnp.sum(hit.astype(jnp.int32))
+        from partitionedhashjoin_tpu.ops.pallas import merge_count as mc
+
+        if mc.supported():
+            # fused Pallas streaming pass (one kernel for the scans)
+            count = mc.merge_count_sorted(keys_s, is_build_s)
+        else:
+            masked = jnp.where(is_build_s, keys_s, _I32_MIN)
+            last_build = jax.lax.cummax(masked)
+            hit = (
+                (~is_build_s)
+                & (last_build == keys_s)
+                & (keys_s != _I32_MIN)
+            )
+            count = jnp.sum(hit.astype(jnp.int32))
         # correction: probe keys equal to INT32_MIN match iff any build key is
         min_in_build = jnp.any(build_keys == _I32_MIN)
         n_min_probe = jnp.sum((probe_keys == _I32_MIN).astype(jnp.int32))
