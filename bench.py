@@ -25,7 +25,13 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# Persistent compilation cache: tunnel-side compiles cost 30-160s per program;
+# cached reloads take seconds, so repeated bench rounds amortize to run time.
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from partitionedhashjoin_tpu.data.table import Table  # noqa: E402
 from partitionedhashjoin_tpu.ops.generators import (  # noqa: E402

@@ -41,3 +41,43 @@ __all__ = [
     "Table",
     "config",
 ]
+
+
+def __getattr__(name):
+    """Lazy convenience exports (joiners import jax; keep package import light)."""
+    lazy = {
+        "SortMergeJoiner": ("partitionedhashjoin_tpu.ops.sort_merge", "SortMergeJoiner"),
+        "NoPartitioningHashJoiner": (
+            "partitionedhashjoin_tpu.ops.no_partitioning",
+            "NoPartitioningHashJoiner",
+        ),
+        "RadixHashJoiner": (
+            "partitionedhashjoin_tpu.ops.radix_cluster",
+            "RadixHashJoiner",
+        ),
+        "DistributedShuffleJoiner": (
+            "partitionedhashjoin_tpu.parallel.shuffle",
+            "DistributedShuffleJoiner",
+        ),
+        "sequential_table": (
+            "partitionedhashjoin_tpu.ops.generators",
+            "sequential_table",
+        ),
+        "zipf_table": ("partitionedhashjoin_tpu.ops.generators", "zipf_table"),
+        "hash_aggregate": (
+            "partitionedhashjoin_tpu.ops.aggregate",
+            "hash_aggregate",
+        ),
+        "filter_table": ("partitionedhashjoin_tpu.ops.filter", "filter_table"),
+        "sort_table": ("partitionedhashjoin_tpu.ops.sort", "sort_table"),
+        "radix_sort_table": (
+            "partitionedhashjoin_tpu.ops.sort",
+            "radix_sort_table",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'partitionedhashjoin_tpu' has no attribute {name!r}")

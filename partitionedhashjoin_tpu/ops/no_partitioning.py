@@ -31,28 +31,28 @@ from partitionedhashjoin_tpu.utils.logger import get_new_logger
 from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _build(keys: jax.Array, seed: jax.Array, size: int) -> ht.HashTable:
-    return ht.build_hash_table(keys, seed, size)
+#: probe rows per sequential chunk — bounds the (rows, WINDOW) gather temp
+_PROBE_CHUNK_TARGET = 25_000_000
 
 
-@jax.jit
-def _probe_count(table: ht.HashTable, probe_keys: jax.Array) -> jax.Array:
-    """Count probe rows with a match — per-worker local counters + the global
-    atomic add (HashJoin.hpp:144-157) collapse to one vectorized reduction."""
-    found = ht.probe_exists(table, probe_keys)
-    return jnp.sum(found.astype(jnp.int64 if found.shape[0] > (1 << 31) else jnp.int32))
+def _num_chunks(n: int) -> int:
+    """Largest divisor of n that keeps chunks near the target size."""
+    want = max(1, n // _PROBE_CHUNK_TARGET)
+    for k in range(want, 0, -1):
+        if n % k == 0:
+            return k
+    return 1
 
 
 @jax.jit
 def _probe_gather(
-    table: ht.HashTable,
+    table: ht.ChainedHashTable,
     probe_keys: jax.Array,
     build_payloads: jax.Array,
     probe_payloads: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Materialize first-match join output, compacted to the front."""
-    found, build_row = ht.probe_get(table, probe_keys)
+    found, build_row = ht.probe_chained_get(table, probe_keys)
     n = probe_keys.shape[0]
     # stable compaction: output position = exclusive prefix count of matches
     pos = jnp.cumsum(found.astype(jnp.int32)) - found.astype(jnp.int32)
@@ -98,10 +98,12 @@ class NoPartitioningHashJoiner:
         self._seed = jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32)
         self._logger = get_new_logger("NoPartitioningHashJoiner")
 
-    def build(self, table_a: Table) -> ht.HashTable:
-        size = ht.table_size_for(table_a.size, self._size_ratio)
-        table = _build(table_a.keys, self._seed, size)
-        sync(table.slot_rows)
+    def build(self, table_a: Table) -> ht.ChainedHashTable:
+        """One-sort chained-bucket build (replaces the reference's parallel
+        latched insert loop, HashJoin.hpp:76-126)."""
+        num_buckets = ht.chained_num_buckets(table_a.size)
+        table = ht.build_chained(table_a.keys, self._seed, num_buckets)
+        sync(table.entry_rows)
         return table
 
     def run(
@@ -117,7 +119,9 @@ class NoPartitioningHashJoiner:
         timer.set_build_phase_end()
 
         timer.set_probe_phase_begin()
-        count = _probe_count(hash_tbl, table_b.keys)
+        count = ht.probe_chained_count(
+            hash_tbl, table_b.keys, num_chunks=_num_chunks(table_b.size)
+        )
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)

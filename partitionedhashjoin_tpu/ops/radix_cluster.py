@@ -69,17 +69,42 @@ def _build_phase(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_partitions",))
+@functools.partial(jax.jit, static_argnames=("num_partitions", "num_chunks"))
 def _probe_phase(
     table: ht.SegmentedHashTable,
     part_b: radix.PartitionedRelation,
     part_seed,
     num_partitions: int,
+    num_chunks: int = 1,
 ) -> jax.Array:
-    pid = radix.partition_ids(part_b.keys, part_seed, num_partitions)
-    valid = part_b.row_ids >= 0
-    found = ht.probe_segmented_exists(table, part_b.keys, pid, valid)
-    return jnp.sum(found.astype(jnp.int32))
+    def one(args):
+        keys, row_ids = args
+        pid = radix.partition_ids(keys, part_seed, num_partitions)
+        found = ht.probe_segmented_exists(table, keys, pid, row_ids >= 0)
+        return jnp.sum(found.astype(jnp.int32))
+
+    n = part_b.keys.shape[0]
+    if num_chunks <= 1 or n % num_chunks:
+        return one((part_b.keys, part_b.row_ids))
+    m = n // num_chunks
+    # sequential chunks bound the probe loop's temporaries at scale
+    return jnp.sum(
+        jax.lax.map(
+            one,
+            (
+                part_b.keys.reshape(num_chunks, m),
+                part_b.row_ids.reshape(num_chunks, m),
+            ),
+        )
+    )
+
+
+def _num_chunks(n: int, target: int = 25_000_000) -> int:
+    want = max(1, n // target)
+    for k in range(want, 0, -1):
+        if n % k == 0:
+            return k
+    return 1
 
 
 class RadixHashJoiner:
@@ -146,7 +171,13 @@ class RadixHashJoiner:
         timer.set_build_phase_end()
 
         timer.set_probe_phase_begin()
-        count = _probe_phase(seg_table, part_b, self._part_seed, p)
+        count = _probe_phase(
+            seg_table,
+            part_b,
+            self._part_seed,
+            p,
+            num_chunks=_num_chunks(table_b.size),
+        )
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)

@@ -307,6 +307,71 @@ def _probe_and_count(
     return out[0]
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "use_hot", "hot_table_size"))
+def _sort_merge_local_count(
+    mesh: Mesh,
+    recv_keys_a,
+    recv_valid_a,
+    recv_keys_b,
+    recv_valid_b,
+    keys_b,
+    is_hot_b,
+    hot_keys_a,
+    hot_valid_a,
+    hot_build_seed,
+    use_hot: bool,
+    hot_table_size: int,
+):
+    """Fused local join: per-shard sort-merge count over received cold rows
+    (the gather-free path, ops/sort_merge.py) + hot probe, psum'd.
+
+    Replaces separate build/probe programs — the sort subsumes the build, so
+    the shuffle join's post-exchange cost is one sort of the shard-local
+    rows, mirroring the single-chip flagship."""
+    from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
+
+    if use_hot:
+        hot_table = ht.build_hash_table(
+            hot_keys_a,
+            hot_build_seed,
+            hot_table_size,
+            valid=hot_valid_a,
+            has_valid=True,
+        )
+    else:
+        hot_table = ht.HashTable(
+            slot_keys=jnp.zeros((1,), jnp.int32),
+            slot_rows=jnp.full((1,), -1, jnp.int32),
+            max_probe=jnp.asarray(0, jnp.int32),
+            seed=jnp.asarray(0, jnp.uint32),
+        )
+
+    def local(rka, rva, rkb, rvb, kb, ihb, hot_tbl):
+        count = sort_merge_count(rka, rkb, rva, rvb)
+        if use_hot:
+            found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
+            count = count + jnp.sum(found_hot.astype(jnp.int32))
+        return jnp.reshape(jax.lax.psum(count, SHARD_AXIS), (1,))
+
+    sh = P(SHARD_AXIS)
+    out = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, sh, P()),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        recv_keys_a,
+        recv_valid_a,
+        recv_keys_b,
+        recv_valid_b,
+        keys_b,
+        is_hot_b,
+        hot_table,
+    )
+    return out[0]
+
+
 def plan_hot_keys(
     keys: jax.Array,
     sample_size: int,
@@ -362,7 +427,11 @@ class DistributedShuffleJoiner:
         hot_sample: int = 16_384,
         hot_min_frac: float = 0.005,
         max_retries: int = 3,
+        local_join: str = "sort-merge",
     ) -> None:
+        if local_join not in ("sort-merge", "hash"):
+            raise ValueError(f"unknown local_join {local_join}")
+        self._local_join = local_join
         self._mesh = mesh
         self._num_shards = int(mesh.devices.size)
         if self._num_shards & (self._num_shards - 1):
@@ -450,33 +519,55 @@ class DistributedShuffleJoiner:
                 slack *= 2
                 continue
 
-            table_size = ht.table_size_for(s * cap_a)
-            timer.set_build_phase_begin()
-            slot_keys, slot_rows, max_probes = _build_local_tables(
-                self._mesh, rk_a, rv_a, self._bucket_seed, table_size
-            )
-            sync(slot_rows)
-            timer.set_build_phase_end()
+            if self._local_join == "sort-merge":
+                # the sort subsumes the build: one fused local-join program
+                timer.set_build_phase_begin()
+                timer.set_build_phase_end()
+                timer.set_probe_phase_begin()
+                count = _sort_merge_local_count(
+                    self._mesh,
+                    rk_a,
+                    rv_a,
+                    rk_b,
+                    rv_b,
+                    table_b.keys,
+                    is_hot_b,
+                    hk,
+                    hv,
+                    self._hot_seed,
+                    use_hot,
+                    ht.table_size_for(hk.shape[0]),
+                )
+                count = int(jax.device_get(count))
+                timer.set_probe_phase_end()
+            else:
+                table_size = ht.table_size_for(s * cap_a)
+                timer.set_build_phase_begin()
+                slot_keys, slot_rows, max_probes = _build_local_tables(
+                    self._mesh, rk_a, rv_a, self._bucket_seed, table_size
+                )
+                sync(slot_rows)
+                timer.set_build_phase_end()
 
-            timer.set_probe_phase_begin()
-            count = _probe_and_count(
-                self._mesh,
-                slot_keys,
-                slot_rows,
-                max_probes,
-                self._bucket_seed,
-                rk_b,
-                rv_b,
-                table_b.keys,
-                is_hot_b,
-                hk,
-                hv,
-                self._hot_seed,
-                use_hot,
-                ht.table_size_for(hk.shape[0]),
-            )
-            count = int(jax.device_get(count))
-            timer.set_probe_phase_end()
+                timer.set_probe_phase_begin()
+                count = _probe_and_count(
+                    self._mesh,
+                    slot_keys,
+                    slot_rows,
+                    max_probes,
+                    self._bucket_seed,
+                    rk_b,
+                    rv_b,
+                    table_b.keys,
+                    is_hot_b,
+                    hk,
+                    hv,
+                    self._hot_seed,
+                    use_hot,
+                    ht.table_size_for(hk.shape[0]),
+                )
+                count = int(jax.device_get(count))
+                timer.set_probe_phase_end()
             self._logger.info("Number of joined tuples: %d", count)
             return count
         raise RuntimeError(

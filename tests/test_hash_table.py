@@ -105,3 +105,52 @@ def test_table_size_for_is_pow2_and_covers():
         s = ht.table_size_for(n, ratio)
         assert s & (s - 1) == 0
         assert s >= n * ratio - 1e-9
+
+
+class TestChainedTable:
+    """Chained bucket table: the one-sort build + windowed probe."""
+
+    def _build(self, keys, seed=11):
+        keys = jnp.asarray(np.asarray(keys, np.int32))
+        return ht.build_chained(
+            keys, jnp.uint32(seed), ht.chained_num_buckets(keys.shape[0])
+        )
+
+    def test_probe_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        build = rng.integers(-(2**31), 2**31 - 1, 6000, dtype=np.int32)
+        probe = rng.integers(-(2**31), 2**31 - 1, 9000, dtype=np.int32)
+        probe[:4500] = rng.choice(build, 4500)
+        table = self._build(build)
+        count = int(ht.probe_chained_count(table, jnp.asarray(probe)))
+        assert count == int(np.isin(probe, build).sum())
+
+    def test_chunked_probe_equals_unchunked(self):
+        rng = np.random.default_rng(1)
+        build = rng.integers(0, 4000, 2000).astype(np.int32)
+        probe = rng.integers(0, 4000, 8000).astype(np.int32)
+        table = self._build(build)
+        c1 = int(ht.probe_chained_count(table, jnp.asarray(probe), num_chunks=1))
+        c4 = int(ht.probe_chained_count(table, jnp.asarray(probe), num_chunks=4))
+        assert c1 == c4 == int(np.isin(probe, build).sum())
+
+    def test_get_returns_matching_rows(self):
+        rng = np.random.default_rng(2)
+        build = rng.permutation(np.arange(500)).astype(np.int32)
+        probe = rng.integers(-100, 600, 1000).astype(np.int32)
+        table = self._build(build)
+        found, row = ht.probe_chained_get(table, jnp.asarray(probe))
+        found, row = np.asarray(found), np.asarray(row)
+        np.testing.assert_array_equal(found, np.isin(probe, build))
+        np.testing.assert_array_equal(build[row[found]], probe[found])
+        assert (row[~found] == -1).all()
+
+    def test_long_chains_beyond_window(self):
+        # all keys identical -> one bucket chain of length 64 (> WINDOW);
+        # probe must still find it and miss on others
+        build = np.full(64, 42, np.int32)
+        table = self._build(build)
+        probe = np.array([42, 41, 43], np.int32)
+        count = int(ht.probe_chained_count(table, jnp.asarray(probe)))
+        assert count == 1
+        assert int(table.max_chain) == 64

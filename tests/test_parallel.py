@@ -111,17 +111,28 @@ def test_plan_hot_keys_finds_the_zipf_head(mesh8):
         assert (keys == k).sum() > 32768 * 0.005
 
 
-def test_timer_phases_recorded(mesh8):
+def test_timer_phases_recorded_hash_local_join(mesh8):
     a = shard_table(sequential_table(2048), mesh8)
     b = shard_table(
         zipf_table(8192, alpha=1.05, key_range=(1, 2048), seed=19), mesh8
     )
     timer = HashJoinTimer(Parameters())
-    DistributedShuffleJoiner(mesh8, seed=7).run(a, b, timer)
+    DistributedShuffleJoiner(mesh8, seed=7, local_join="hash").run(a, b, timer)
     r = timer.get_result()
     assert r.get_partitioning_phase_duration() > 0
     assert r.get_build_phase_duration() > 0
     assert r.get_probe_phase_duration() > 0
+
+
+def test_local_join_strategies_agree(mesh8):
+    rng = np.random.default_rng(23)
+    a_keys = rng.integers(0, 6000, 2048).astype(np.int32)
+    b_keys = rng.integers(0, 6000, 8192).astype(np.int32)
+    a = shard_table(make_table(a_keys, np.arange(2048, dtype=np.int32)), mesh8)
+    b = shard_table(make_table(b_keys, np.arange(8192, dtype=np.int32)), mesh8)
+    c_sm = DistributedShuffleJoiner(mesh8, seed=9, local_join="sort-merge").run(a, b)
+    c_h = DistributedShuffleJoiner(mesh8, seed=9, local_join="hash").run(a, b)
+    assert c_sm == c_h == int(np.isin(b_keys, a_keys).sum())
 
 
 def test_small_mesh_sizes():
