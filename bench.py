@@ -34,10 +34,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 from partitionedhashjoin_tpu.data.table import Table  # noqa: E402
-from partitionedhashjoin_tpu.ops.generators import (  # noqa: E402
-    sequential_table,
-    zipf_keys,
-)
+from partitionedhashjoin_tpu.ops.generators import sequential_table  # noqa: E402
 from partitionedhashjoin_tpu.utils.device import sync  # noqa: E402
 from partitionedhashjoin_tpu.utils.results import (  # noqa: E402
     HashJoinTimer,
@@ -83,10 +80,31 @@ def main() -> None:
 
     t0 = time.perf_counter()
     table_a = sequential_table(n_a)
-    ids = zipf_keys(jax.random.PRNGKey(20260816), n_b, skew, n_a)
-    table_b = Table(keys=ids, payloads=jnp.arange(n_b, dtype=jnp.int32))
+    # Probe keys come from the native host generator with an npy disk cache:
+    # the device Zipf program costs 150-200s of remote compile per process
+    # (the tunnel's compile cache is unreliable), while a cached host array
+    # costs ~1s load + the device transfer.
+    cache_dir = os.path.join(_REPO, ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_file = os.path.join(cache_dir, f"zipf_{n_b}_{skew}_20260816.npy")
+    import numpy as np
+
+    if os.path.exists(cache_file):
+        ids_np = np.load(cache_file)
+        log(f"loaded cached probe keys: {time.perf_counter() - t0:.1f}s")
+    else:
+        from partitionedhashjoin_tpu.data import host_loader
+
+        ids_np, _ = host_loader.generate_zipf(
+            n_b, skew, (1, n_a), seed=20260816
+        )
+        np.save(cache_file, ids_np)
+        log(f"host-generated probe keys: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    ids = jax.device_put(ids_np)
+    table_b = Table(keys=ids, payloads=jnp.zeros((n_b,), jnp.int32))
     sync((table_a.keys, table_b.keys))
-    log(f"generate: {time.perf_counter() - t0:.1f}s")
+    log(f"transfer: {time.perf_counter() - t0:.1f}s")
 
     best = None
     for algo in algos:
