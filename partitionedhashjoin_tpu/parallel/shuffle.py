@@ -102,7 +102,7 @@ class ShuffleStats:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cap_a", "cap_b", "hot_cap", "use_hot"),
+    static_argnames=("mesh", "cap_a", "cap_b", "hot_cap", "use_hot", "exchange_b"),
 )
 def _exchange(
     mesh: Mesh,
@@ -118,10 +118,15 @@ def _exchange(
     cap_b: int,
     hot_cap: int,
     use_hot: bool,
+    exchange_b: bool = True,
 ):
     """Partition phase: bucketize + all_to_all both relations; replicate hot
     build rows.  Returns per-shard received rows (+ masks), local hot probe
-    masks, replicated hot build rows, and drop stats."""
+    masks, replicated hot build rows, and drop stats.
+
+    With ``exchange_b=False`` the B relation is bucketized but NOT exchanged
+    (its slots in the return tuple hold the local send buckets) — the
+    pipelined probe (_pipelined_probe) exchanges B chunk-by-chunk instead."""
 
     def local(keys_a, pays_a, keys_b, pays_b, shard_seed, hot_keys, hot_valid, hot_seed):
         num_shards = jax.lax.axis_size(SHARD_AXIS)
@@ -159,7 +164,10 @@ def _exchange(
             ).reshape(-1)
 
         rk_a, rp_a, rv_a = a2a(bk_a), a2a(bp_a), a2a(bv_a)
-        rk_b, rp_b, rv_b = a2a(bk_b), a2a(bp_b), a2a(bv_b)
+        if exchange_b:
+            rk_b, rp_b, rv_b = a2a(bk_b), a2a(bp_b), a2a(bv_b)
+        else:
+            rk_b, rp_b, rv_b = bk_b, bp_b, bv_b
 
         # hot build rows are replicated everywhere (all_gather); hot probe
         # rows stay local (is_hot_b mask re-used in the probe phase)
@@ -307,6 +315,103 @@ def _probe_and_count(
     return out[0]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "cap_b", "use_hot", "hot_table_size", "num_chunks"),
+)
+def _pipelined_probe(
+    mesh: Mesh,
+    recv_keys_a,
+    recv_valid_a,
+    bucket_keys_b,
+    bucket_valid_b,
+    keys_b,
+    is_hot_b,
+    hot_keys_a,
+    hot_valid_a,
+    hot_build_seed,
+    cap_b: int,
+    use_hot: bool,
+    hot_table_size: int,
+    num_chunks: int,
+):
+    """Probe with the B exchange split into round-robin chunks and software-
+    pipelined against the local join (BASELINE "exchange overlapped with
+    probe").  The scan body issues the NEXT chunk's ``all_to_all`` before
+    counting the CURRENT chunk; the collective has no data dependence on the
+    count, so XLA's async collective scheduling can overlap them on ICI.
+
+    Chunk c takes bucket ranks ≡ c (mod K): valid rows sit at the front of
+    each bucket, so round-robin striping loads chunks evenly."""
+    from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
+
+    if use_hot:
+        hot_table = ht.build_hash_table(
+            hot_keys_a,
+            hot_build_seed,
+            hot_table_size,
+            valid=hot_valid_a,
+            has_valid=True,
+        )
+    else:
+        hot_table = ht.HashTable(
+            slot_keys=jnp.zeros((1,), jnp.int32),
+            slot_rows=jnp.full((1,), -1, jnp.int32),
+            max_probe=jnp.asarray(0, jnp.int32),
+            seed=jnp.asarray(0, jnp.uint32),
+        )
+
+    def local(rka, rva, bkb, bvb, kb, ihb, hot_tbl):
+        num_shards = jax.lax.axis_size(SHARD_AXIS)
+        k_chunks = num_chunks
+        # (S*C) -> (S, C//K, K): chunk k = ranks congruent to k mod K
+        bkb3 = bkb.reshape(num_shards, cap_b // k_chunks, k_chunks)
+        bvb3 = bvb.reshape(num_shards, cap_b // k_chunks, k_chunks)
+
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x, SHARD_AXIS, split_axis=0, concat_axis=0
+            )
+
+        first = (a2a(bkb3[:, :, 0]), a2a(bvb3[:, :, 0]))
+
+        def body(carry, k):
+            rk, rv = carry
+            nk = jnp.minimum(k + 1, k_chunks - 1)
+            # prefetch the next chunk — independent of this chunk's count
+            next_rk = a2a(jnp.take(bkb3, nk, axis=2))
+            next_rv = a2a(jnp.take(bvb3, nk, axis=2))
+            cnt = sort_merge_count(rka, rk.reshape(-1), rva, rv.reshape(-1))
+            return (next_rk, next_rv), cnt
+
+        _, counts = jax.lax.scan(
+            body, first, jnp.arange(k_chunks, dtype=jnp.int32)
+        )
+        count = jnp.sum(counts)
+        if use_hot:
+            found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
+            count = count + jnp.sum(found_hot.astype(jnp.int32))
+        return jnp.reshape(jax.lax.psum(count, SHARD_AXIS), (1,))
+
+    sh = P(SHARD_AXIS)
+    out = _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, sh, sh, sh, P()),
+        out_specs=P(),
+        check_vma=False,
+    )(
+        recv_keys_a,
+        recv_valid_a,
+        bucket_keys_b,
+        bucket_valid_b,
+        keys_b,
+        is_hot_b,
+        hot_table,
+    )
+    return out[0]
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "use_hot", "hot_table_size"))
 def _sort_merge_local_count(
     mesh: Mesh,
@@ -428,10 +533,14 @@ class DistributedShuffleJoiner:
         hot_min_frac: float = 0.005,
         max_retries: int = 3,
         local_join: str = "sort-merge",
+        pipeline_chunks: int = 1,
     ) -> None:
         if local_join not in ("sort-merge", "hash"):
             raise ValueError(f"unknown local_join {local_join}")
+        if pipeline_chunks < 1:
+            raise ValueError("pipeline_chunks must be >= 1")
         self._local_join = local_join
+        self._pipeline_chunks = pipeline_chunks
         self._mesh = mesh
         self._num_shards = int(mesh.devices.size)
         if self._num_shards & (self._num_shards - 1):
@@ -483,9 +592,13 @@ class DistributedShuffleJoiner:
             hot_valid = jnp.zeros((self._hot_capacity,), jnp.bool_)
 
         slack = self._slack
+        pipelined = self._pipeline_chunks > 1
         for attempt in range(self._max_retries):
             cap_a = self._capacity(table_a.size // s, slack)
             cap_b = self._capacity(table_b.size // s, slack)
+            if pipelined:
+                k = self._pipeline_chunks
+                cap_b = (cap_b + k - 1) // k * k
             hot_cap = self._hot_capacity
 
             timer.set_partitioning_phase_begin()
@@ -506,6 +619,7 @@ class DistributedShuffleJoiner:
                 cap_b,
                 hot_cap,
                 use_hot,
+                exchange_b=not pipelined,
             )
             dropped = jax.device_get(
                 (stats.dropped_a, stats.dropped_b, stats.dropped_hot)
@@ -519,7 +633,31 @@ class DistributedShuffleJoiner:
                 slack *= 2
                 continue
 
-            if self._local_join == "sort-merge":
+            if pipelined:
+                # B buckets exchanged chunk-by-chunk, overlapped with the
+                # per-chunk local join inside one scanned program
+                timer.set_build_phase_begin()
+                timer.set_build_phase_end()
+                timer.set_probe_phase_begin()
+                count = _pipelined_probe(
+                    self._mesh,
+                    rk_a,
+                    rv_a,
+                    rk_b,
+                    rv_b,
+                    table_b.keys,
+                    is_hot_b,
+                    hk,
+                    hv,
+                    self._hot_seed,
+                    cap_b,
+                    use_hot,
+                    ht.table_size_for(hk.shape[0]),
+                    self._pipeline_chunks,
+                )
+                count = int(jax.device_get(count))
+                timer.set_probe_phase_end()
+            elif self._local_join == "sort-merge":
                 # the sort subsumes the build: one fused local-join program
                 timer.set_build_phase_begin()
                 timer.set_build_phase_end()

@@ -147,3 +147,28 @@ def test_small_mesh_sizes():
             shard_table(a, mesh), shard_table(b, mesh)
         )
         assert count == int(np.isin(b_keys, a_keys).sum())
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_pipelined_exchange_matches_unpipelined(mesh8, chunks):
+    # chunked all_to_all overlapped with per-chunk local joins must count
+    # identically to the one-shot exchange
+    rng = np.random.default_rng(chunks)
+    a_keys = rng.integers(0, 9000, 4096).astype(np.int32)
+    b_keys = rng.integers(0, 9000, 16384).astype(np.int32)
+    a = shard_table(make_table(a_keys, np.arange(4096, dtype=np.int32)), mesh8)
+    b = shard_table(make_table(b_keys, np.arange(16384, dtype=np.int32)), mesh8)
+    c_pipe = DistributedShuffleJoiner(
+        mesh8, seed=3, pipeline_chunks=chunks
+    ).run(a, b)
+    c_flat = DistributedShuffleJoiner(mesh8, seed=3).run(a, b)
+    assert c_pipe == c_flat == int(np.isin(b_keys, a_keys).sum())
+
+
+def test_pipelined_with_zipf_skew(mesh8):
+    a = shard_table(sequential_table(4096), mesh8)
+    b = shard_table(
+        zipf_table(32768, alpha=1.25, key_range=(1, 4096), seed=7), mesh8
+    )
+    count = DistributedShuffleJoiner(mesh8, seed=5, pipeline_chunks=4).run(a, b)
+    assert count == 32768
