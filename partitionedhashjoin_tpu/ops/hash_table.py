@@ -50,6 +50,19 @@ DEFAULT_SIZE_RATIO = 2.0
 _INT32_MAX = jnp.iinfo(jnp.int32).max
 
 
+
+def _as_i32_keys(keys):
+    """Coerce to int32, refusing 64-bit inputs (silent truncation would make
+    distinct keys collide).  64-bit keys take the sort-merge path
+    (ops/sort_merge.py, dtype-generic) or hashing.hash64_pair."""
+    keys = jnp.asarray(keys)
+    if keys.dtype in (jnp.int64, jnp.uint64):
+        raise TypeError(
+            "hash-table kernels are 32-bit; use sort_merge for int64 keys"
+        )
+    return keys.astype(jnp.int32)
+
+
 def table_size_for(n: int, ratio: float = DEFAULT_SIZE_RATIO) -> int:
     """Power-of-two slot count >= ratio * n (cf. getNumberOfBuckets,
     src/HashTables/LinearProbing.cpp:7-12 — ceil(ratio*n), made pow2 here so
@@ -115,7 +128,7 @@ def build_hash_table(
     if size < n and not has_valid:
         raise ValueError(f"table size {size} < number of keys {n}")
     mask = size - 1
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     home = _bucket_of(keys, seed, mask)
     row_ids = jnp.arange(n, dtype=jnp.int32)
@@ -177,7 +190,7 @@ def _probe_loop(
     """
     n = keys.shape[0]
     mask = table.size - 1
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     home = _bucket_of(keys, table.seed, mask)
     initial_active = (
         jnp.asarray(valid, jnp.bool_)
@@ -296,7 +309,7 @@ def build_chained(
 ) -> ChainedHashTable:
     """One-sort bucket-chained build (vs the reference's latched inserts)."""
     n = keys.shape[0]
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     bucket = _bucket_of(keys, seed, num_buckets - 1)
     rows = jnp.arange(n, dtype=jnp.int32)
@@ -320,7 +333,7 @@ def _probe_chained_block(table: ChainedHashTable, keys: jax.Array):
     """(found, first_row) for one probe block via windowed chain scans."""
     n = keys.shape[0]
     nbkt = table.num_buckets
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     bucket = _bucket_of(keys, table.seed, nbkt - 1)
     start = table.offsets[bucket]
     end = table.offsets[bucket + 1]
@@ -399,7 +412,7 @@ def build_dedup_hash_table(keys: jax.Array, seed: jax.Array, size: int):
     if size & (size - 1):
         raise ValueError(f"table size must be a power of two, got {size}")
     mask = size - 1
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     home = _bucket_of(keys, seed, mask)
     row_ids = jnp.arange(n, dtype=jnp.int32)
@@ -522,7 +535,7 @@ def build_segmented(
     are never inserted.
     """
     n = keys.shape[0]
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     seed = jnp.asarray(seed).astype(jnp.uint32)
     offset = seg_offsets[pid]
     cap = seg_caps[pid]
@@ -585,7 +598,7 @@ def probe_segmented_exists(
 ) -> jax.Array:
     """bool[n]: does probe row i match inside its partition's sub-table?"""
     n = keys.shape[0]
-    keys = jnp.asarray(keys, jnp.int32)
+    keys = _as_i32_keys(keys)
     offset = table.seg_offsets[pid]
     cap = table.seg_caps[pid]
     home = (

@@ -43,13 +43,24 @@ from partitionedhashjoin_tpu.utils.logger import get_new_logger
 from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
 
 
+def _key_dtype(build_keys, probe_keys):
+    """Common integer key dtype: int64 when either side is 64-bit (requires
+    jax x64 mode — the reference's Tuple::id is int64, Table.hpp:20-25),
+    else int32.  Chosen explicitly so 64-bit keys are never silently
+    truncated."""
+    a = jnp.asarray(build_keys).dtype
+    b = jnp.asarray(probe_keys).dtype
+    return jnp.int64 if jnp.int64 in (a, b) else jnp.int32
+
+
 def _merged_multiplicity(build_keys, probe_keys, build_valid, probe_valid):
     """Shared sort+scan: returns (is_probe_row, probe_row_valid, mult) in
     sorted order, where mult = number of valid build rows with this key."""
     n_a = build_keys.shape[0]
     n_b = probe_keys.shape[0]
+    dtype = _key_dtype(build_keys, probe_keys)
     keys = jnp.concatenate(
-        [jnp.asarray(build_keys, jnp.int32), jnp.asarray(probe_keys, jnp.int32)]
+        [jnp.asarray(build_keys, dtype), jnp.asarray(probe_keys, dtype)]
     )
     is_build = jnp.concatenate(
         [jnp.ones((n_a,), jnp.bool_), jnp.zeros((n_b,), jnp.bool_)]
@@ -90,13 +101,15 @@ def sort_merge_count(
     if build_valid is None and probe_valid is None:
         # Fast path: 2-operand sort + one cummax.  ``last_build = running max
         # of build keys`` equals the most recent build key because keys
-        # ascend; INT32_MIN doubles as "no build key yet", so probe rows with
-        # key INT32_MIN are handled by a separate O(1)-pass correction
+        # ascend; the dtype minimum doubles as "no build key yet", so probe
+        # rows with that key are handled by a separate O(1)-pass correction
         # instead of a sentinel-free third operand.
         n_a = build_keys.shape[0]
         n_b = probe_keys.shape[0]
-        build_keys = jnp.asarray(build_keys, jnp.int32)
-        probe_keys = jnp.asarray(probe_keys, jnp.int32)
+        dtype = _key_dtype(build_keys, probe_keys)
+        kmin = jnp.iinfo(dtype).min
+        build_keys = jnp.asarray(build_keys, dtype)
+        probe_keys = jnp.asarray(probe_keys, dtype)
         keys = jnp.concatenate([build_keys, probe_keys])
         is_build = jnp.concatenate(
             [jnp.ones((n_a,), jnp.bool_), jnp.zeros((n_b,), jnp.bool_)]
@@ -106,21 +119,22 @@ def sort_merge_count(
         )
         from partitionedhashjoin_tpu.ops.pallas import merge_count as mc
 
-        if mc.supported():
+        if dtype == jnp.int32 and mc.supported():
             # fused Pallas streaming pass (one kernel for the scans)
             count = mc.merge_count_sorted(keys_s, is_build_s)
         else:
-            masked = jnp.where(is_build_s, keys_s, _I32_MIN)
+            masked = jnp.where(is_build_s, keys_s, kmin)
             last_build = jax.lax.cummax(masked)
             hit = (
                 (~is_build_s)
                 & (last_build == keys_s)
-                & (keys_s != _I32_MIN)
+                & (keys_s != kmin)
             )
             count = jnp.sum(hit.astype(jnp.int32))
-        # correction: probe keys equal to INT32_MIN match iff any build key is
-        min_in_build = jnp.any(build_keys == _I32_MIN)
-        n_min_probe = jnp.sum((probe_keys == _I32_MIN).astype(jnp.int32))
+        # correction: probe keys equal to the dtype minimum match iff any
+        # build key is
+        min_in_build = jnp.any(build_keys == kmin)
+        n_min_probe = jnp.sum((probe_keys == kmin).astype(jnp.int32))
         return count + jnp.where(min_in_build, n_min_probe, 0)
     is_probe, valid, mult = _merged_multiplicity(
         build_keys, probe_keys, build_valid, probe_valid

@@ -117,3 +117,30 @@ def test_selectors():
     out_cfg = OutputConfiguration()
     out_cfg.file.name = "x.json"
     assert isinstance(select_results_renderer(out_cfg), FileResultsRenderer)
+
+
+class TestProfiling:
+    """Roofline accounting utilities (utils/profiling.py)."""
+
+    def test_roofline_math(self):
+        from partitionedhashjoin_tpu.utils.profiling import roofline
+
+        r = roofline(seconds=1.0, bytes_moved=819_000_000_000, chip="v5e")
+        assert abs(r.achieved_gbps - 819.0) < 1e-6
+        assert abs(r.fraction_of_peak - 1.0) < 1e-6
+        assert "100%" in str(r)
+
+    def test_sort_merge_bytes_scale(self):
+        from partitionedhashjoin_tpu.utils.profiling import sort_merge_bytes
+
+        b = sort_merge_bytes(10_000_000, 200_000_000)
+        # ~8 passes * 210M * 5B * 2 + one scan pass: in the 15-20 GB range
+        assert 10e9 < b < 30e9
+
+    def test_trace_context_manager_runs(self, tmp_path):
+        import jax.numpy as jnp
+
+        from partitionedhashjoin_tpu.utils.profiling import trace
+
+        with trace(str(tmp_path)):
+            jnp.arange(10).sum().block_until_ready()

@@ -87,3 +87,32 @@ def test_empty_intersection():
         np.arange(100, 200, dtype=np.int32), np.zeros(100, np.int32)
     )
     assert SortMergeJoiner().run(a, b) == 0
+
+
+def test_int64_keys_supported_under_x64():
+    # the reference's Tuple::id is int64 (Table.hpp:20-25); the sort-merge
+    # path must handle 64-bit keys exactly (values beyond int32 range)
+    import jax
+
+    with jax.enable_x64(True):
+        big = np.array(
+            [2**40, 2**40 + 1, -(2**35), 7], np.int64
+        )
+        probe = np.array(
+            [2**40, 2**40 + 2, -(2**35), 7, 2**33], np.int64
+        )
+        got = int(
+            sort_merge_count(jnp.asarray(big), jnp.asarray(probe))
+        )
+        assert got == 3
+
+
+def test_int64_keys_rejected_by_hash_tables():
+    import jax
+    import pytest
+    from partitionedhashjoin_tpu.ops import hash_table as ht
+
+    with jax.enable_x64(True):
+        keys = jnp.asarray(np.array([2**40, 1], np.int64))
+        with pytest.raises(TypeError):
+            ht.build_chained(keys, jnp.uint32(1), 2)
