@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device count for --join shuffle (default: all)")
     p.add_argument("--seed", type=int, default=None,
                    help="data generation seed (default: fresh entropy)")
+    p.add_argument("--local-join", default="sort-merge",
+                   choices=("sort-merge", "hash"),
+                   help="shuffle join's per-shard join strategy")
+    p.add_argument("--pipeline-chunks", type=int, default=1,
+                   help="shuffle join: split the probe exchange into K "
+                   "chunks overlapped with per-chunk local joins")
     return p
 
 
@@ -181,7 +187,12 @@ def run_join(join_name: str, config: Configuration, args, table_a, table_b, log)
         mesh = make_mesh(args.shards)
         params.set_parameter("Type", "DistributedShuffle")
         params.set_parameter("NumberOfShards", str(mesh.devices.size))
-        joiner = DistributedShuffleJoiner(mesh, seed=config.seed)
+        joiner = DistributedShuffleJoiner(
+            mesh,
+            seed=config.seed,
+            local_join=args.local_join,
+            pipeline_chunks=args.pipeline_chunks,
+        )
         table_a = shard_table(table_a, mesh)
         table_b = shard_table(table_b, mesh)
     else:  # pragma: no cover

@@ -96,6 +96,24 @@ def radix_partition(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_partitions",))
+def radix_partition_keys(
+    keys: jax.Array, seed, num_partitions: int
+):
+    """Key-only fan-out: (partitioned_keys, histogram, offsets).
+
+    The count-join path needs no payloads or row ids (dense partitioning has
+    no padding), and dropping them shrinks the partition sort from four
+    operands to two — at 200M rows that halves peak HBM pressure (the
+    4-operand variant OOMs a 16GB v5e alongside the resident relations).
+    """
+    pid = partition_ids(keys, seed, num_partitions)
+    histogram = jnp.zeros((num_partitions,), jnp.int32).at[pid].add(1)
+    offsets = jnp.cumsum(histogram) - histogram
+    _, keys_s = jax.lax.sort((pid, keys), num_keys=1, is_stable=True)
+    return keys_s, histogram, offsets
+
+
 @functools.partial(jax.jit, static_argnames=("num_partitions", "block_rows"))
 def radix_partition_padded(
     keys: jax.Array,

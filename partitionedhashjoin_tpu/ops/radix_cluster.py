@@ -45,58 +45,57 @@ _BUCKET_SEED_MIX = 0x85EBCA6B
 
 
 @functools.partial(jax.jit, static_argnames=("num_partitions",))
-def _partition_both(
-    keys_a, payloads_a, keys_b, payloads_b, part_seed, num_partitions: int
-):
-    part_a = radix.radix_partition(keys_a, payloads_a, part_seed, num_partitions)
-    part_b = radix.radix_partition(keys_b, payloads_b, part_seed, num_partitions)
-    return part_a, part_b
+def _partition_both(keys_a, keys_b, part_seed, num_partitions: int):
+    """Key-only fan-out of both relations (HashJoin.hpp:210-213 runs them
+    concurrently on the pool; XLA schedules both sorts in one program).
+    Payloads are not carried — the join only counts (Readme.md:10)."""
+    keys_a_part, hist_a, _ = radix.radix_partition_keys(
+        keys_a, part_seed, num_partitions
+    )
+    keys_b_part, _, _ = radix.radix_partition_keys(
+        keys_b, part_seed, num_partitions
+    )
+    return keys_a_part, hist_a, keys_b_part
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "num_partitions"))
 def _build_phase(
-    part_a: radix.PartitionedRelation,
+    keys_a_part,
+    hist_a,
     part_seed,
     bucket_seed,
     capacity: int,
     num_partitions: int,
 ) -> ht.SegmentedHashTable:
-    seg_offsets, seg_caps = ht.segment_geometry(part_a.histogram)
-    pid = radix.partition_ids(part_a.keys, part_seed, num_partitions)
-    valid = part_a.row_ids >= 0
+    seg_offsets, seg_caps = ht.segment_geometry(hist_a)
+    pid = radix.partition_ids(keys_a_part, part_seed, num_partitions)
+    valid = jnp.ones(keys_a_part.shape, jnp.bool_)
     return ht.build_segmented(
-        part_a.keys, pid, valid, seg_offsets, seg_caps, bucket_seed, capacity
+        keys_a_part, pid, valid, seg_offsets, seg_caps, bucket_seed, capacity
     )
 
 
 @functools.partial(jax.jit, static_argnames=("num_partitions", "num_chunks"))
 def _probe_phase(
     table: ht.SegmentedHashTable,
-    part_b: radix.PartitionedRelation,
+    keys_b_part,
     part_seed,
     num_partitions: int,
     num_chunks: int = 1,
 ) -> jax.Array:
-    def one(args):
-        keys, row_ids = args
+    def one(keys):
         pid = radix.partition_ids(keys, part_seed, num_partitions)
-        found = ht.probe_segmented_exists(table, keys, pid, row_ids >= 0)
+        found = ht.probe_segmented_exists(
+            table, keys, pid, jnp.ones(keys.shape, jnp.bool_)
+        )
         return jnp.sum(found.astype(jnp.int32))
 
-    n = part_b.keys.shape[0]
+    n = keys_b_part.shape[0]
     if num_chunks <= 1 or n % num_chunks:
-        return one((part_b.keys, part_b.row_ids))
+        return one(keys_b_part)
     m = n // num_chunks
     # sequential chunks bound the probe loop's temporaries at scale
-    return jnp.sum(
-        jax.lax.map(
-            one,
-            (
-                part_b.keys.reshape(num_chunks, m),
-                part_b.row_ids.reshape(num_chunks, m),
-            ),
-        )
-    )
+    return jnp.sum(jax.lax.map(one, keys_b_part.reshape(num_chunks, m)))
 
 
 def _num_chunks(n: int, target: int = 25_000_000) -> int:
@@ -151,21 +150,16 @@ class RadixHashJoiner:
         p = self.num_partitions
 
         timer.set_partitioning_phase_begin()
-        part_a, part_b = _partition_both(
-            table_a.keys,
-            table_a.payloads,
-            table_b.keys,
-            table_b.payloads,
-            self._part_seed,
-            p,
+        keys_a_part, hist_a, keys_b_part = _partition_both(
+            table_a.keys, table_b.keys, self._part_seed, p
         )
-        sync((part_a.keys, part_b.keys))
+        sync((keys_a_part, keys_b_part))
         timer.set_partitioning_phase_end()
 
         capacity = ht.segmented_capacity(table_a.size, p)
         timer.set_build_phase_begin()
         seg_table = _build_phase(
-            part_a, self._part_seed, self._bucket_seed, capacity, p
+            keys_a_part, hist_a, self._part_seed, self._bucket_seed, capacity, p
         )
         sync(seg_table.slot_rows)
         timer.set_build_phase_end()
@@ -173,7 +167,7 @@ class RadixHashJoiner:
         timer.set_probe_phase_begin()
         count = _probe_phase(
             seg_table,
-            part_b,
+            keys_b_part,
             self._part_seed,
             p,
             num_chunks=_num_chunks(table_b.size),

@@ -158,6 +158,76 @@ def sort_merge_count_all(
     return jnp.sum(jnp.where(is_probe & valid, mult, 0))
 
 
+@jax.jit
+def sort_merge_materialize(
+    build_keys: jax.Array,
+    build_payloads: jax.Array,
+    probe_keys: jax.Array,
+    probe_payloads: jax.Array,
+):
+    """Materialized first-match join: (keys, payload_a, payload_b, count),
+    compacted to the front in probe-row order.
+
+    The matching build row for a probe row is the *latest* build row at or
+    before it in sorted order (deterministic; the reference's ``Get`` picks
+    an arbitrary chain-order first match, HashJoin.hpp:159-180).  Sorted
+    positions ascend, so ``cummax(where(is_build, position, -1))`` is the
+    last build position — the same one-scan trick as the count.
+    """
+    n_a = build_keys.shape[0]
+    n_b = probe_keys.shape[0]
+    dtype = _key_dtype(build_keys, probe_keys)
+    kmin = jnp.iinfo(dtype).min
+    keys = jnp.concatenate(
+        [jnp.asarray(build_keys, dtype), jnp.asarray(probe_keys, dtype)]
+    )
+    is_build = jnp.concatenate(
+        [jnp.ones((n_a,), jnp.bool_), jnp.zeros((n_b,), jnp.bool_)]
+    )
+    orig_row = jnp.concatenate(
+        [
+            jnp.arange(n_a, dtype=jnp.int32),
+            jnp.arange(n_b, dtype=jnp.int32),
+        ]
+    )
+    keys_s, is_build_s, row_s = jax.lax.sort(
+        (keys, is_build, orig_row), num_keys=1, is_stable=True
+    )
+    total = n_a + n_b
+    pos = jnp.arange(total, dtype=jnp.int32)
+    last_build_pos = jax.lax.cummax(jnp.where(is_build_s, pos, -1))
+    last_build_key = jax.lax.cummax(jnp.where(is_build_s, keys_s, kmin))
+    hit_s = (
+        (~is_build_s)
+        & (last_build_pos >= 0)
+        & (last_build_key == keys_s)
+    )
+    build_row_s = row_s[jnp.maximum(last_build_pos, 0)]
+    # back to probe-row order
+    probe_row_s = jnp.where(~is_build_s, row_s, n_b)
+    hit = (
+        jnp.zeros((n_b,), jnp.bool_).at[probe_row_s].set(hit_s, mode="drop")
+    )
+    build_row = (
+        jnp.zeros((n_b,), jnp.int32)
+        .at[probe_row_s]
+        .set(build_row_s, mode="drop")
+    )
+    # stable compaction (same as ops/no_partitioning._probe_gather)
+    inc = hit.astype(jnp.int32)
+    dst = jnp.where(hit, jnp.cumsum(inc) - inc, n_b)
+    keys_out = jnp.zeros((n_b,), jnp.asarray(probe_keys).dtype).at[dst].set(
+        jnp.asarray(probe_keys), mode="drop"
+    )
+    pay_a = jnp.zeros((n_b,), build_payloads.dtype).at[dst].set(
+        build_payloads[build_row], mode="drop"
+    )
+    pay_b = jnp.zeros((n_b,), probe_payloads.dtype).at[dst].set(
+        probe_payloads, mode="drop"
+    )
+    return keys_out, pay_a, pay_b, jnp.sum(inc)
+
+
 class SortMergeJoiner:
     """Driver with the reference's ``run(table_a, table_b, timer)`` shape.
 
@@ -185,3 +255,26 @@ class SortMergeJoiner:
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count
+
+    def run_materialize(
+        self,
+        table_a: Table,
+        table_b: Table,
+        timer: Optional[IHashJoinTimer] = None,
+    ):
+        """Engine extension: materialized first-match join output."""
+        from partitionedhashjoin_tpu.data.table import JoinedTable
+
+        timer = timer or NoOpHashJoinTimer()
+        timer.set_build_phase_begin()
+        timer.set_build_phase_end()
+        timer.set_probe_phase_begin()
+        keys, pay_a, pay_b, count = sort_merge_materialize(
+            table_a.keys, table_a.payloads, table_b.keys, table_b.payloads
+        )
+        count_host = int(jax.device_get(count))
+        timer.set_probe_phase_end()
+        self._logger.info("Number of joined tuples: %d", count_host)
+        return JoinedTable(
+            keys=keys, payloads_a=pay_a, payloads_b=pay_b, count=count
+        )

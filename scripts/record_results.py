@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Record a results grid on the current device, in the reference's schema.
+
+Produces ``results/<tag>/partitions_*.txt`` JSON files plus ``figure.dat``
+(same layout the reference commits under results/1.05 and results/1.25),
+using the library directly in ONE process so tunnel-side compiles are paid
+once per program instead of once per CLI invocation.
+
+Usage:
+    python scripts/record_results.py --outdir results/tpu-v5e --skew 1.05 \
+        --primary 10000000 --secondary 200000000 --partitions 32 256 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--skew", type=float, default=1.05)
+    p.add_argument("--primary", type=int, default=10_000_000)
+    p.add_argument("--secondary", type=int, default=200_000_000)
+    p.add_argument("--partitions", type=int, nargs="*", default=[32, 256, 2048])
+    p.add_argument("--seed", type=int, default=20260816)
+    p.add_argument(
+        "--algos",
+        nargs="*",
+        default=["sort-merge", "no-partitioning", "radix"],
+    )
+    args = p.parse_args()
+    os.makedirs(args.outdir, exist_ok=True)
+
+    from partitionedhashjoin_tpu.config import (
+        RadixClusteringConfiguration,
+        ResultsFormatConfiguration,
+    )
+    from partitionedhashjoin_tpu.data import host_loader
+    from partitionedhashjoin_tpu.data.table import Table
+    from partitionedhashjoin_tpu.ops.generators import sequential_table
+    from partitionedhashjoin_tpu.utils.device import sync
+    from partitionedhashjoin_tpu.utils.results import (
+        HashJoinTimer,
+        JSONResultsFormatter,
+        Parameters,
+    )
+    import jax.numpy as jnp
+
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
+
+    log(f"device: {jax.devices()[0]}")
+    t0 = time.perf_counter()
+    table_a = sequential_table(args.primary)
+    ids_np, _ = host_loader.generate_zipf(
+        args.secondary, args.skew, (1, args.primary), seed=args.seed
+    )
+    table_b = Table(
+        keys=jax.device_put(ids_np),
+        payloads=jnp.zeros((args.secondary,), jnp.int32),
+    )
+    sync((table_a.keys, table_b.keys))
+    log(f"generate+transfer: {time.perf_counter() - t0:.0f}s")
+
+    formatter = JSONResultsFormatter(ResultsFormatConfiguration())
+
+    def record(joiner, type_tag, filename, extra_params=()):
+        params = Parameters()
+        params.set_parameter("PrimaryRelationSize", str(args.primary))
+        params.set_parameter("SecondaryRelationSize", str(args.secondary))
+        params.set_parameter("Skew", f"{args.skew:.6f}")
+        params.set_parameter("Type", type_tag)
+        for k, v in extra_params:
+            params.set_parameter(k, v)
+        timer = HashJoinTimer(params)
+        count = joiner.run(table_a, table_b)  # warmup/compile
+        assert count == args.secondary, f"{type_tag}: {count}"
+        t0 = time.perf_counter()
+        joiner.run(table_a, table_b, timer)
+        log(f"{filename}: {time.perf_counter() - t0:.2f}s total")
+        path = os.path.join(args.outdir, filename)
+        with open(path, "w") as f:
+            formatter.format(f, timer.get_result())
+        with open(path) as f:
+            return json.load(f)
+
+    columns = []
+    if "sort-merge" in args.algos:
+        from partitionedhashjoin_tpu.ops.sort_merge import SortMergeJoiner
+
+        doc = record(SortMergeJoiner(), "SortMerge", "sortmerge.txt")
+        columns.append(("SortMerge", doc))
+    if "no-partitioning" in args.algos:
+        from partitionedhashjoin_tpu.ops.no_partitioning import (
+            NoPartitioningHashJoiner,
+        )
+
+        doc = record(
+            NoPartitioningHashJoiner(seed=7),
+            "NoPartitioning",
+            "partitions_1.txt",
+        )
+        columns.append(("NoPartitioning", doc))
+    if "radix" in args.algos:
+        from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
+
+        for parts in args.partitions:
+            joiner = RadixHashJoiner(
+                RadixClusteringConfiguration(number_of_partitions=parts),
+                seed=7,
+            )
+            doc = record(
+                joiner,
+                "RadixPartitioning",
+                f"partitions_{parts}.txt",
+                [("NumberOfPartitions", str(parts))],
+            )
+            columns.append((f"Radix_{parts}", doc))
+
+    lines = ["Phase " + " ".join(name for name, _ in columns)]
+    for phase in ("partition", "build", "probe"):
+        lines.append(
+            phase + " " + " ".join(doc["results"][phase] for _, doc in columns)
+        )
+    with open(os.path.join(args.outdir, "figure.dat"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log("done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -116,3 +116,37 @@ def test_int64_keys_rejected_by_hash_tables():
         keys = jnp.asarray(np.array([2**40, 1], np.int64))
         with pytest.raises(TypeError):
             ht.build_chained(keys, jnp.uint32(1), 2)
+
+
+def test_materialized_join_matches_hash_path():
+    rng = np.random.default_rng(31)
+    a_keys = rng.choice(np.arange(0, 3000, dtype=np.int32), 1200, replace=False)
+    b_keys = rng.integers(0, 3000, 5000).astype(np.int32)
+    a = make_table(a_keys, np.arange(1200, dtype=np.int32))
+    b = make_table(b_keys, np.arange(5000, dtype=np.int32))
+    out = SortMergeJoiner().run_materialize(a, b)
+    c = int(out.count)
+    assert c == int(np.isin(b_keys, a_keys).sum())
+    keys = np.asarray(out.keys)[:c]
+    pay_a = np.asarray(out.payloads_a)[:c]
+    pay_b = np.asarray(out.payloads_b)[:c]
+    # probe order, compacted; payload_a = unique build row's payload
+    sel = np.isin(b_keys, a_keys)
+    np.testing.assert_array_equal(keys, b_keys[sel])
+    np.testing.assert_array_equal(pay_b, np.where(sel)[0])
+    key_to_row = {int(k): i for i, k in enumerate(a_keys)}
+    np.testing.assert_array_equal(
+        pay_a, np.array([key_to_row[int(k)] for k in keys], np.int32)
+    )
+
+
+def test_materialized_join_duplicate_build_keys_deterministic():
+    # with duplicate build keys the LATEST build row in stable sorted order
+    # wins (deterministic first-match policy)
+    a = make_table(
+        np.array([5, 5, 9], np.int32), np.array([10, 20, 30], np.int32)
+    )
+    b = make_table(np.array([5, 9, 4], np.int32), np.arange(3, dtype=np.int32))
+    out = SortMergeJoiner().run_materialize(a, b)
+    assert int(out.count) == 2
+    assert np.asarray(out.payloads_a)[:2].tolist() == [20, 30]
