@@ -47,26 +47,39 @@ class GroupByResult:
     group_of_row: jax.Array  # int32[n] dense group id per input row
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
+@functools.partial(jax.jit, static_argnames=("size", "has_valid"))
 def _group_and_aggregate(
-    keys: jax.Array, payloads: jax.Array, seed: jax.Array, size: int
+    keys: jax.Array,
+    payloads: jax.Array,
+    seed: jax.Array,
+    size: int,
+    valid: "jax.Array | None" = None,
+    has_valid: bool = False,
 ) -> GroupByResult:
     n = keys.shape[0]
-    _, rep_row = ht.build_dedup_hash_table(keys, seed, size)
-    # densify representatives -> group ids 0..G-1 (stable in row order)
-    is_rep_flag = jnp.zeros((n,), jnp.int32).at[rep_row].max(1)
+    _, rep_row = ht.build_dedup_hash_table(
+        keys, seed, size, valid=valid, has_valid=has_valid
+    )
+    # densify representatives -> group ids 0..G-1 (stable in row order);
+    # invalid rows keep rep_row == -1 and aggregate into the dump slot
+    safe_rep = jnp.where(rep_row >= 0, rep_row, n)
+    is_rep_flag = (
+        jnp.zeros((n,), jnp.int32).at[safe_rep].max(1, mode="drop")
+    )
     dense_of_row = jnp.cumsum(is_rep_flag) - is_rep_flag  # id at rep positions
-    gid = dense_of_row[rep_row]
+    gid = jnp.where(
+        rep_row >= 0, dense_of_row[jnp.maximum(rep_row, 0)], n
+    )
     num_groups = jnp.sum(is_rep_flag)
 
     ones = jnp.ones((n,), jnp.int32)
-    count = jnp.zeros((n,), jnp.int32).at[gid].add(ones)
-    sum_ = jnp.zeros((n,), payloads.dtype).at[gid].add(payloads)
+    count = jnp.zeros((n,), jnp.int32).at[gid].add(ones, mode="drop")
+    sum_ = jnp.zeros((n,), payloads.dtype).at[gid].add(payloads, mode="drop")
     min_ = jnp.full((n,), _I32_MAX, jnp.int32).at[gid].min(
-        payloads.astype(jnp.int32)
+        payloads.astype(jnp.int32), mode="drop"
     )
     max_ = jnp.full((n,), _I32_MIN, jnp.int32).at[gid].max(
-        payloads.astype(jnp.int32)
+        payloads.astype(jnp.int32), mode="drop"
     )
     group_keys = jnp.zeros((n,), keys.dtype).at[gid].set(keys, mode="drop")
     return GroupByResult(
@@ -76,7 +89,7 @@ def _group_and_aggregate(
         min=min_,
         max=max_,
         num_groups=num_groups,
-        group_of_row=gid,
+        group_of_row=jnp.where(gid < n, gid, -1),
     )
 
 
@@ -85,3 +98,28 @@ def hash_aggregate(table: Table, seed: int = 0) -> GroupByResult:
     size = ht.table_size_for(table.size)
     seed_dev = jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32)
     return _group_and_aggregate(table.keys, table.payloads, seed_dev, size)
+
+
+def filter_aggregate(table: Table, predicate, seed: int = 0) -> GroupByResult:
+    """Filter → hash-aggregate pipeline (BASELINE.json configs[3]:
+    "Filter + hash-aggregate pipeline on generated key/value tables").
+
+    Rows failing ``predicate(keys, payloads)`` are excluded via the dedup
+    table's validity mechanism (they are never inserted, keep ``rep_row ==
+    -1``, and aggregate into a dropped dump slot) — no materialized
+    intermediate table, so XLA fuses the mask directly into the group-by
+    scatters.
+
+    Returns ``(GroupByResult of the selected rows, selected_row_count)``;
+    ``group_of_row`` is -1 for filtered-out rows.
+    """
+    mask = predicate(table.keys, table.payloads)
+    g = _group_and_aggregate(
+        table.keys,
+        table.payloads,
+        jnp.asarray(seed & 0xFFFFFFFF, jnp.uint32),
+        ht.table_size_for(table.size),
+        valid=mask,
+        has_valid=True,
+    )
+    return g, jnp.sum(mask.astype(jnp.int32))

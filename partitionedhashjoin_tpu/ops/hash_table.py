@@ -304,19 +304,25 @@ def chained_num_buckets(n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("num_buckets",))
-def build_chained(
-    keys: jax.Array, seed: jax.Array, num_buckets: int
+def build_chained_from_buckets(
+    bucket: jax.Array, keys: jax.Array, seed: jax.Array, num_buckets: int
 ) -> ChainedHashTable:
-    """One-sort bucket-chained build (vs the reference's latched inserts)."""
+    """Chained build from precomputed bucket ids (one stable sort).
+
+    Callers with structured bucket maps (the radix join's partition-segmented
+    buckets, ops/radix_cluster.py) compute ``bucket`` themselves; plain
+    tables use ``build_chained``.
+    """
     n = keys.shape[0]
     keys = _as_i32_keys(keys)
     seed = jnp.asarray(seed).astype(jnp.uint32)
-    bucket = _bucket_of(keys, seed, num_buckets - 1)
     rows = jnp.arange(n, dtype=jnp.int32)
     _, entry_keys, entry_rows = jax.lax.sort(
         (bucket, keys, rows), num_keys=1, is_stable=True
     )
-    counts = jnp.zeros((num_buckets,), jnp.int32).at[bucket].add(1)
+    counts = jnp.zeros((num_buckets,), jnp.int32).at[bucket].add(
+        1, mode="drop"
+    )
     offsets = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)]
     )
@@ -329,12 +335,29 @@ def build_chained(
     )
 
 
-def _probe_chained_block(table: ChainedHashTable, keys: jax.Array):
-    """(found, first_row) for one probe block via windowed chain scans."""
+@functools.partial(jax.jit, static_argnames=("num_buckets",))
+def build_chained(
+    keys: jax.Array, seed: jax.Array, num_buckets: int
+) -> ChainedHashTable:
+    """One-sort bucket-chained build (vs the reference's latched inserts)."""
+    keys = _as_i32_keys(keys)
+    seed_u = jnp.asarray(seed).astype(jnp.uint32)
+    bucket = _bucket_of(keys, seed_u, num_buckets - 1)
+    return build_chained_from_buckets(bucket, keys, seed_u, num_buckets)
+
+
+def _probe_chained_block(
+    table: ChainedHashTable, keys: jax.Array, bucket=None
+):
+    """(found, first_row) for one probe block via windowed chain scans.
+
+    ``bucket`` overrides the default hash-derived bucket (used by the radix
+    join's partition-segmented bucket map)."""
     n = keys.shape[0]
     nbkt = table.num_buckets
     keys = _as_i32_keys(keys)
-    bucket = _bucket_of(keys, table.seed, nbkt - 1)
+    if bucket is None:
+        bucket = _bucket_of(keys, table.seed, nbkt - 1)
     start = table.offsets[bucket]
     end = table.offsets[bucket + 1]
 
@@ -367,23 +390,56 @@ def _probe_chained_block(table: ChainedHashTable, keys: jax.Array):
     return found, first_row
 
 
-@functools.partial(jax.jit, static_argnames=("num_chunks",))
+@jax.jit
+def _probe_chained_count_chunk(
+    table: ChainedHashTable, keys: jax.Array, bucket=None
+) -> jax.Array:
+    found, _ = _probe_chained_block(table, keys, bucket=bucket)
+    return jnp.sum(found.astype(jnp.int32))
+
+
+def probe_chained_count_buckets(
+    table: ChainedHashTable,
+    keys: jax.Array,
+    bucket: jax.Array,
+    num_chunks: int = 1,
+) -> jax.Array:
+    """Chunked-dispatch count with caller-supplied bucket ids."""
+    n = keys.shape[0]
+    keys = _as_i32_keys(keys)
+    if num_chunks <= 1 or n % num_chunks:
+        return _probe_chained_count_chunk(table, keys, bucket)
+    m = n // num_chunks
+    total = None
+    for c in range(num_chunks):
+        cnt = _probe_chained_count_chunk(
+            table,
+            jax.lax.dynamic_slice(keys, (c * m,), (m,)),
+            jax.lax.dynamic_slice(bucket, (c * m,), (m,)),
+        )
+        total = cnt if total is None else total + cnt
+    return total
+
+
 def probe_chained_count(
     table: ChainedHashTable, keys: jax.Array, num_chunks: int = 1
 ) -> jax.Array:
-    """Get-semantics match count; ``num_chunks`` bounds temp memory (the
-    (n, WINDOW) gather) by scanning the probe side in sequential chunks."""
+    """Get-semantics match count; ``num_chunks`` splits the probe into
+    separate dispatches, bounding both the (n, WINDOW) gather temporaries
+    and single-program runtime (one fused program gathering 200M chains for
+    tens of seconds trips the device watchdog)."""
     n = keys.shape[0]
+    keys = _as_i32_keys(keys)
     if num_chunks <= 1 or n % num_chunks:
-        found, _ = _probe_chained_block(table, keys)
-        return jnp.sum(found.astype(jnp.int32))
-    chunked = jnp.asarray(keys, jnp.int32).reshape(num_chunks, n // num_chunks)
-
-    def one(chunk):
-        found, _ = _probe_chained_block(table, chunk)
-        return jnp.sum(found.astype(jnp.int32))
-
-    return jnp.sum(jax.lax.map(one, chunked))
+        return _probe_chained_count_chunk(table, keys)
+    m = n // num_chunks
+    total = None
+    for c in range(num_chunks):
+        cnt = _probe_chained_count_chunk(
+            table, jax.lax.dynamic_slice(keys, (c * m,), (m,))
+        )
+        total = cnt if total is None else total + cnt
+    return total
 
 
 @jax.jit
@@ -392,8 +448,16 @@ def probe_chained_get(table: ChainedHashTable, keys: jax.Array):
     return _probe_chained_block(table, keys)
 
 
-@functools.partial(jax.jit, static_argnums=(2,), static_argnames=("size",))
-def build_dedup_hash_table(keys: jax.Array, seed: jax.Array, size: int):
+@functools.partial(
+    jax.jit, static_argnums=(2,), static_argnames=("size", "has_valid")
+)
+def build_dedup_hash_table(
+    keys: jax.Array,
+    seed: jax.Array,
+    size: int,
+    valid: "jax.Array | None" = None,
+    has_valid: bool = False,
+):
     """Insert each *distinct* key once; map every row to its representative.
 
     Returns ``(table, rep_row)`` where ``rep_row[i]`` is the build-row index
@@ -406,7 +470,8 @@ def build_dedup_hash_table(keys: jax.Array, seed: jax.Array, size: int):
 
     This is the engine's GROUP BY backbone (ops/aggregate.py); the reference
     has no aggregate operator — it is part of the extended db_exec_kernel
-    suite (BASELINE.json configs[3]).
+    suite (BASELINE.json configs[3]).  Rows with ``valid == False`` are never
+    inserted and keep ``rep_row == -1`` (pass ``has_valid=True`` alongside).
     """
     n = keys.shape[0]
     if size & (size - 1):
@@ -452,7 +517,7 @@ def build_dedup_hash_table(keys: jax.Array, seed: jax.Array, size: int):
         jnp.zeros((size,), jnp.int32),
         jnp.full((size,), -1, jnp.int32),
         jnp.zeros((n,), jnp.int32),
-        jnp.ones((n,), jnp.bool_),
+        jnp.asarray(valid, jnp.bool_) if has_valid else jnp.ones((n,), jnp.bool_),
         jnp.full((n,), -1, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )

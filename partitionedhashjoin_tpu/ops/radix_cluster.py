@@ -9,10 +9,12 @@ TPU-native counterpart of src/RadixCluster/HashJoin.hpp:91-440:
   one jit).
 - **Join phase** (HashJoin.hpp:243-331): the reference loops workers over
   partitions round-robin, building a fresh hash table per partition (:278)
-  and probing it (:295-301).  Here *all* per-partition builds happen in one
-  vectorized claim/resolve pass over a segmented table
-  (ops/hash_table.py::build_segmented) and all probes in one lockstep gather
-  pass — partition-parallelism becomes lane-parallelism.
+  and probing it (:295-301).  Here every partition's chained table lives in
+  one flat bucket space (bucket = partition offset + in-partition hash) and
+  ALL per-partition builds collapse into ONE stable sort
+  (ops/hash_table.py::build_chained_from_buckets); probes walk contiguous
+  chains with windowed gathers, chunked per dispatch at scale —
+  partition-parallelism becomes lane-parallelism.
 
 Match semantics are the reference's: each probe row counts once if its key
 exists in the same partition's build table (``Get`` != null, :295-301).
@@ -58,44 +60,86 @@ def _partition_both(keys_a, keys_b, part_seed, num_partitions: int):
     return keys_a_part, hist_a, keys_b_part
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "num_partitions"))
+def _segment_bucket_ids(keys, part_seed, bucket_seed, boff, bcnt, num_partitions):
+    """Global bucket id: partition's bucket-range offset + in-partition hash
+    bucket (the per-partition ``factory.New(|A_p|)`` table geometry,
+    RadixCluster/HashJoin.hpp:278, flattened into one bucket space)."""
+    from partitionedhashjoin_tpu.ops import hashing
+
+    pid = radix.partition_ids(keys, part_seed, num_partitions)
+    h = hashing.hash32(keys, bucket_seed)
+    local = (h % bcnt[pid].astype(jnp.uint32)).astype(jnp.int32)
+    return boff[pid] + local
+
+
+@functools.partial(jax.jit, static_argnames=("num_buckets", "num_partitions"))
 def _build_phase(
     keys_a_part,
     hist_a,
     part_seed,
     bucket_seed,
-    capacity: int,
+    num_buckets: int,
     num_partitions: int,
-) -> ht.SegmentedHashTable:
-    seg_offsets, seg_caps = ht.segment_geometry(hist_a)
-    pid = radix.partition_ids(keys_a_part, part_seed, num_partitions)
-    valid = jnp.ones(keys_a_part.shape, jnp.bool_)
-    return ht.build_segmented(
-        keys_a_part, pid, valid, seg_offsets, seg_caps, bucket_seed, capacity
+):
+    """Per-partition chained tables in one flat bucket space, built with ONE
+    stable sort (the per-partition insert loops of HashJoin.hpp:283-286
+    collapse into it).  Bucket count per partition ~= |A_p| (load <= 1)."""
+    boff, bcnt = ht.segment_geometry(hist_a, ratio=1.0)
+    bucket = _segment_bucket_ids(
+        keys_a_part, part_seed, bucket_seed, boff, bcnt, num_partitions
     )
+    table = ht.build_chained_from_buckets(
+        bucket, keys_a_part, bucket_seed, num_buckets
+    )
+    return table, boff, bcnt
 
 
-@functools.partial(jax.jit, static_argnames=("num_partitions", "num_chunks"))
+@functools.partial(jax.jit, static_argnames=("num_partitions",))
+def _probe_chunk(
+    table: ht.ChainedHashTable,
+    keys,
+    part_seed,
+    boff,
+    bcnt,
+    num_partitions: int,
+) -> jax.Array:
+    bucket = _segment_bucket_ids(
+        keys, part_seed, table.seed, boff, bcnt, num_partitions
+    )
+    return ht._probe_chained_count_chunk(table, keys, bucket)
+
+
 def _probe_phase(
-    table: ht.SegmentedHashTable,
+    table: ht.ChainedHashTable,
     keys_b_part,
     part_seed,
+    boff,
+    bcnt,
     num_partitions: int,
     num_chunks: int = 1,
 ) -> jax.Array:
-    def one(keys):
-        pid = radix.partition_ids(keys, part_seed, num_partitions)
-        found = ht.probe_segmented_exists(
-            table, keys, pid, jnp.ones(keys.shape, jnp.bool_)
-        )
-        return jnp.sum(found.astype(jnp.int32))
-
+    """Chunked at the DISPATCH level, not with lax.map: each chunk is its own
+    XLA program.  One fused program walking 200M rows of probe chains runs
+    tens of seconds and trips the device watchdog ("TPU worker crashed");
+    separate dispatches bound both program runtime and temporaries."""
     n = keys_b_part.shape[0]
     if num_chunks <= 1 or n % num_chunks:
-        return one(keys_b_part)
+        return _probe_chunk(
+            table, keys_b_part, part_seed, boff, bcnt, num_partitions
+        )
     m = n // num_chunks
-    # sequential chunks bound the probe loop's temporaries at scale
-    return jnp.sum(jax.lax.map(one, keys_b_part.reshape(num_chunks, m)))
+    total = None
+    for c in range(num_chunks):
+        cnt = _probe_chunk(
+            table,
+            jax.lax.dynamic_slice(keys_b_part, (c * m,), (m,)),
+            part_seed,
+            boff,
+            bcnt,
+            num_partitions,
+        )
+        total = cnt if total is None else total + cnt
+    return total
 
 
 def _num_chunks(n: int, target: int = 25_000_000) -> int:
@@ -156,19 +200,22 @@ class RadixHashJoiner:
         sync((keys_a_part, keys_b_part))
         timer.set_partitioning_phase_end()
 
-        capacity = ht.segmented_capacity(table_a.size, p)
+        num_buckets = ht.segmented_capacity(table_a.size, p, ratio=1.0)
         timer.set_build_phase_begin()
-        seg_table = _build_phase(
-            keys_a_part, hist_a, self._part_seed, self._bucket_seed, capacity, p
+        chained, boff, bcnt = _build_phase(
+            keys_a_part, hist_a, self._part_seed, self._bucket_seed,
+            num_buckets, p,
         )
-        sync(seg_table.slot_rows)
+        sync(chained.entry_rows)
         timer.set_build_phase_end()
 
         timer.set_probe_phase_begin()
         count = _probe_phase(
-            seg_table,
+            chained,
             keys_b_part,
             self._part_seed,
+            boff,
+            bcnt,
             p,
             num_chunks=_num_chunks(table_b.size),
         )

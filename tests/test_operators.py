@@ -137,3 +137,54 @@ class TestSort:
     def test_radix_sort_rejects_bad_bits(self):
         with pytest.raises(ValueError):
             radix_sort(jnp.arange(4, dtype=jnp.int32), bits_per_pass=5)
+
+
+class TestFilterAggregate:
+    """Fused filter -> GROUP BY pipeline (BASELINE configs[3])."""
+
+    def test_matches_numpy_pipeline(self):
+        from partitionedhashjoin_tpu.ops.aggregate import filter_aggregate
+
+        rng = np.random.default_rng(8)
+        keys = rng.integers(0, 40, 3000).astype(np.int32)
+        pay = rng.integers(-50, 50, 3000).astype(np.int32)
+        t = make_table(keys, pay)
+        g, count = filter_aggregate(t, lambda k, p: p > 0, seed=3)
+        sel = pay > 0
+        assert int(count) == sel.sum()
+        num = int(g.num_groups)
+        assert num == len(np.unique(keys[sel]))
+        gk = np.asarray(g.keys)[:num]
+        assert sorted(gk.tolist()) == np.unique(keys[sel]).tolist()
+        for i, k in enumerate(gk):
+            m = sel & (keys == k)
+            assert int(g.count[i]) == m.sum()
+            assert int(g.sum[i]) == pay[m].sum()
+            assert int(g.min[i]) == pay[m].min()
+            assert int(g.max[i]) == pay[m].max()
+        gid = np.asarray(g.group_of_row)
+        assert (gid[~sel] == -1).all()
+        assert (gid[sel] >= 0).all()
+        np.testing.assert_array_equal(gk[gid[sel]], keys[sel])
+
+    def test_filter_key_collision_with_excluded_rows(self):
+        # an excluded row whose key equals an included row's key must not
+        # contaminate the group (regression for a pseudo-key remap design)
+        from partitionedhashjoin_tpu.ops.aggregate import filter_aggregate
+
+        keys = np.array([7, 7, 7], np.int32)
+        pay = np.array([1, -1, 2], np.int32)
+        t = make_table(keys, pay)
+        g, count = filter_aggregate(t, lambda k, p: p > 0, seed=1)
+        assert int(count) == 2 and int(g.num_groups) == 1
+        assert int(g.count[0]) == 2 and int(g.sum[0]) == 3
+
+    def test_all_rows_filtered_out(self):
+        from partitionedhashjoin_tpu.ops.aggregate import filter_aggregate
+
+        t = make_table(
+            np.arange(100, dtype=np.int32), np.arange(100, dtype=np.int32)
+        )
+        g, count = filter_aggregate(t, lambda k, p: k < 0, seed=2)
+        assert int(count) == 0 and int(g.num_groups) == 0
+        assert (np.asarray(g.group_of_row) == -1).all()
