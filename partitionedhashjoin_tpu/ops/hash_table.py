@@ -347,12 +347,14 @@ def build_chained(
 
 
 def _probe_chained_block(
-    table: ChainedHashTable, keys: jax.Array, bucket=None
+    table: ChainedHashTable, keys: jax.Array, bucket=None, need_rows=True
 ):
     """(found, first_row) for one probe block via windowed chain scans.
 
     ``bucket`` overrides the default hash-derived bucket (used by the radix
-    join's partition-segmented bucket map)."""
+    join's partition-segmented bucket map).  ``need_rows=False`` (the count
+    path) skips the entry-row gathers — nearly half the probe's HBM traffic
+    (gathers cost ~7.6 ns each regardless of locality)."""
     n = keys.shape[0]
     nbkt = table.num_buckets
     keys = _as_i32_keys(keys)
@@ -367,12 +369,13 @@ def _probe_chained_block(
         in_chain = idx < end[:, None]
         idx_c = jnp.minimum(idx, table.entry_keys.shape[0] - 1)
         wkeys = table.entry_keys[idx_c]  # contiguous (n, WINDOW) gather
-        wrows = table.entry_rows[idx_c]
         match = in_chain & (wkeys == keys[:, None]) & active[:, None]
         any_match = jnp.any(match, axis=1)
-        first_in_window = jnp.argmax(match, axis=1)
-        row = wrows[jnp.arange(n), first_in_window]
-        first_row = jnp.where(any_match & ~found, row, first_row)
+        if need_rows:
+            wrows = table.entry_rows[idx_c]
+            first_in_window = jnp.argmax(match, axis=1)
+            row = wrows[jnp.arange(n), first_in_window]
+            first_row = jnp.where(any_match & ~found, row, first_row)
         found = found | any_match
         pos = pos + PROBE_WINDOW
         active = active & ~any_match & (pos < end)
@@ -394,7 +397,9 @@ def _probe_chained_block(
 def _probe_chained_count_chunk(
     table: ChainedHashTable, keys: jax.Array, bucket=None
 ) -> jax.Array:
-    found, _ = _probe_chained_block(table, keys, bucket=bucket)
+    found, _ = _probe_chained_block(
+        table, keys, bucket=bucket, need_rows=False
+    )
     return jnp.sum(found.astype(jnp.int32))
 
 
