@@ -150,6 +150,9 @@ class RadixClusteringConfiguration:
 
     number_of_partitions: int = 32
     min_batch_size: int = 10_000
+    #: engine extension: multi-pass radix cluster (Manegold/Balkesen); the
+    #: reference is single-pass.  >1 = LSD digit passes over the pid bits.
+    partition_passes: int = 1
 
 
 @dataclasses.dataclass

@@ -96,9 +96,9 @@ def radix_partition(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_partitions",))
+@functools.partial(jax.jit, static_argnames=("num_partitions", "passes"))
 def radix_partition_keys(
-    keys: jax.Array, seed, num_partitions: int
+    keys: jax.Array, seed, num_partitions: int, passes: int = 1
 ):
     """Key-only fan-out: (partitioned_keys, histogram, offsets).
 
@@ -106,11 +106,31 @@ def radix_partition_keys(
     no padding), and dropping them shrinks the partition sort from four
     operands to two — at 200M rows that halves peak HBM pressure (the
     4-operand variant OOMs a 16GB v5e alongside the resident relations).
+
+    ``passes > 1`` runs the multi-pass radix cluster (Manegold 2002 /
+    Balkesen ICDE'13; the reference stays single-pass, SURVEY.md §3.4): LSD
+    passes over ``log2(P)/passes``-bit digits of the partition id, each pass
+    a stable digit sort, yielding a layout identical to the single-pass
+    fan-out.  On CPUs multi-pass bounds per-pass TLB/cache fan-out; here
+    each pass's sort key is narrower — the knob exists for parity and for
+    backends where narrow-key passes win.
     """
     pid = partition_ids(keys, seed, num_partitions)
     histogram = jnp.zeros((num_partitions,), jnp.int32).at[pid].add(1)
     offsets = jnp.cumsum(histogram) - histogram
-    _, keys_s = jax.lax.sort((pid, keys), num_keys=1, is_stable=True)
+    bits = max(1, num_partitions.bit_length() - 1)
+    if passes <= 1 or bits <= 1:
+        _, keys_s = jax.lax.sort((pid, keys), num_keys=1, is_stable=True)
+        return keys_s, histogram, offsets
+    passes = min(passes, bits)
+    bits_per_pass = -(-bits // passes)
+    digit_mask = jnp.int32((1 << bits_per_pass) - 1)
+    keys_s, pid_s = keys, pid
+    for p in range(passes):  # LSD: low digits first; stability composes
+        digit = (pid_s >> jnp.int32(p * bits_per_pass)) & digit_mask
+        _, keys_s, pid_s = jax.lax.sort(
+            (digit, keys_s, pid_s), num_keys=1, is_stable=True
+        )
     return keys_s, histogram, offsets
 
 

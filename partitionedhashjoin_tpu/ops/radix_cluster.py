@@ -46,16 +46,18 @@ _PARTITION_SEED_MIX = 0x9E3779B9
 _BUCKET_SEED_MIX = 0x85EBCA6B
 
 
-@functools.partial(jax.jit, static_argnames=("num_partitions",))
-def _partition_both(keys_a, keys_b, part_seed, num_partitions: int):
+@functools.partial(jax.jit, static_argnames=("num_partitions", "passes"))
+def _partition_both(
+    keys_a, keys_b, part_seed, num_partitions: int, passes: int = 1
+):
     """Key-only fan-out of both relations (HashJoin.hpp:210-213 runs them
     concurrently on the pool; XLA schedules both sorts in one program).
     Payloads are not carried — the join only counts (Readme.md:10)."""
     keys_a_part, hist_a, _ = radix.radix_partition_keys(
-        keys_a, part_seed, num_partitions
+        keys_a, part_seed, num_partitions, passes=passes
     )
     keys_b_part, _, _ = radix.radix_partition_keys(
-        keys_b, part_seed, num_partitions
+        keys_b, part_seed, num_partitions, passes=passes
     )
     return keys_a_part, hist_a, keys_b_part
 
@@ -195,7 +197,11 @@ class RadixHashJoiner:
 
         timer.set_partitioning_phase_begin()
         keys_a_part, hist_a, keys_b_part = _partition_both(
-            table_a.keys, table_b.keys, self._part_seed, p
+            table_a.keys,
+            table_b.keys,
+            self._part_seed,
+            p,
+            passes=self._config.partition_passes,
         )
         sync((keys_a_part, keys_b_part))
         timer.set_partitioning_phase_end()

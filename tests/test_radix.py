@@ -136,3 +136,41 @@ def test_radix_join_agrees_with_no_partitioning():
 def test_rejects_non_pow2_partitions():
     with pytest.raises(ValueError):
         RadixHashJoiner(RadixClusteringConfiguration(number_of_partitions=6))
+
+
+@pytest.mark.parametrize("passes", [1, 2, 3])
+def test_multipass_radix_partition_identical_layout(passes):
+    # LSD multi-pass digit sorts must produce exactly the single-pass layout
+    rng = np.random.default_rng(passes)
+    keys = rng.integers(-(2**31), 2**31 - 1, 6000, dtype=np.int32)
+    one, hist1, off1 = radix.radix_partition_keys(
+        jnp.asarray(keys), SEED, 256, passes=1
+    )
+    multi, histm, offm = radix.radix_partition_keys(
+        jnp.asarray(keys), SEED, 256, passes=passes
+    )
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(multi))
+    np.testing.assert_array_equal(np.asarray(hist1), np.asarray(histm))
+    np.testing.assert_array_equal(np.asarray(off1), np.asarray(offm))
+
+
+def test_multipass_with_non_divisible_bits():
+    # 32 partitions = 5 bits, 2 passes -> 3+2 bit digits; layout unchanged
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 10_000, 3000).astype(np.int32)
+    one, _, _ = radix.radix_partition_keys(jnp.asarray(keys), SEED, 32, passes=1)
+    two, _, _ = radix.radix_partition_keys(jnp.asarray(keys), SEED, 32, passes=2)
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(two))
+
+
+def test_radix_join_multipass_agrees():
+    rng = np.random.default_rng(41)
+    a_keys = rng.integers(0, 4000, 1500).astype(np.int32)
+    b_keys = rng.integers(0, 4000, 6000).astype(np.int32)
+    a = make_table(a_keys, np.arange(1500, dtype=np.int32))
+    b = make_table(b_keys, np.arange(6000, dtype=np.int32))
+    c2 = RadixHashJoiner(
+        RadixClusteringConfiguration(number_of_partitions=64, partition_passes=2),
+        seed=5,
+    ).run(a, b)
+    assert c2 == int(np.isin(b_keys, a_keys).sum())
