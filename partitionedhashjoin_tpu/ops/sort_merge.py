@@ -11,9 +11,11 @@ costs (v5e, HBM-resident int32) are:
 so any probe that gathers per-row loses to one that sorts + streams.  This
 operator implements the join count with one sort and a few scans:
 
-1. Concatenate ``[build_keys; probe_keys]`` with build rows FIRST.
-2. Stable sort by key; stability puts every build row *before* the
-   equal-keyed probe rows, so each equal-key run is [builds..., probes...].
+1. Concatenate ``[build_keys; probe_keys]``.
+2. Unstable 2-key sort on (key, probe-tag): the comparator itself puts every
+   build row *before* the equal-keyed probe rows, so each equal-key run is
+   [builds..., probes...] — and dropping stability is ~20% faster than a
+   stable 1-key sort.
 3. Per-position build multiplicity of the current key =
    ``cumsum(is_build) - (that cumsum at the run start)``; the run-start
    snapshot propagates by ``cummax`` (snapshots are non-decreasing).
@@ -26,9 +28,9 @@ SURVEY.md §7 step 3 sanctions exactly this design ("sorted-merge ... instead
 of pointer-chasing HashTables"); the hash-table path (ops/no_partitioning.py)
 remains for materialization and as the general fallback.
 
-Measured single chip (TPU v5e, 10M⋈200M int32): 1.07 s ≈ 187M probe rows/s
-end-to-end — above the reference's best total (167M rows/s at P=2048 on
-8C/16T Ryzen, BASELINE.md).
+Measured single chip (TPU v5e, 10M⋈200M int32): 690 ms ≈ 290M probe rows/s
+end-to-end (unstable 2-key sort + fused Pallas merge-count) — 1.73× the
+reference's best total (167M rows/s at P=2048 on 8C/16T Ryzen, BASELINE.md).
 """
 
 from __future__ import annotations
@@ -71,9 +73,12 @@ def _merged_multiplicity(build_keys, probe_keys, build_valid, probe_valid):
             jnp.ones((n_b,), jnp.bool_) if probe_valid is None else jnp.asarray(probe_valid, jnp.bool_),
         ]
     )
-    keys_s, is_build_s, valid_s = jax.lax.sort(
-        (keys, is_build, valid), num_keys=1, is_stable=True
+    # unstable 2-key sort: ties beyond (key, build-tag) are interchangeable
+    # for counting, and dropping stability is ~20% faster (see fast path)
+    keys_s, tag_s, valid_s = jax.lax.sort(
+        (keys, ~is_build, valid), num_keys=2, is_stable=False
     )
+    is_build_s = ~tag_s
     counted = is_build_s & valid_s
     build_prefix = jnp.cumsum(counted.astype(jnp.int32))
     new_key = jnp.concatenate(
@@ -111,12 +116,17 @@ def sort_merge_count(
         build_keys = jnp.asarray(build_keys, dtype)
         probe_keys = jnp.asarray(probe_keys, dtype)
         keys = jnp.concatenate([build_keys, probe_keys])
-        is_build = jnp.concatenate(
-            [jnp.ones((n_a,), jnp.bool_), jnp.zeros((n_b,), jnp.bool_)]
+        # tag participates in the comparator (num_keys=2): builds (False)
+        # order before equal-keyed probes (True) WITHOUT stability — the
+        # unstable 2-key sort measures ~20% faster than the stable 1-key
+        # sort at 210M rows (650 vs 812 ms on v5e)
+        is_probe_tag = jnp.concatenate(
+            [jnp.zeros((n_a,), jnp.bool_), jnp.ones((n_b,), jnp.bool_)]
         )
-        keys_s, is_build_s = jax.lax.sort(
-            (keys, is_build), num_keys=1, is_stable=True
+        keys_s, tag_s = jax.lax.sort(
+            (keys, is_probe_tag), num_keys=2, is_stable=False
         )
+        is_build_s = ~tag_s
         from partitionedhashjoin_tpu.ops.pallas import merge_count as mc
 
         if dtype == jnp.int32 and mc.supported():
@@ -190,9 +200,13 @@ def sort_merge_materialize(
             jnp.arange(n_b, dtype=jnp.int32),
         ]
     )
-    keys_s, is_build_s, row_s = jax.lax.sort(
-        (keys, is_build, orig_row), num_keys=1, is_stable=True
+    # num_keys=3 keeps full determinism without stability: within a key,
+    # builds (tag False) precede probes, then ascending original row — so
+    # "latest build position" is the highest-numbered build row of the key
+    keys_s, tag_s, row_s = jax.lax.sort(
+        (keys, ~is_build, orig_row), num_keys=3, is_stable=False
     )
+    is_build_s = ~tag_s
     total = n_a + n_b
     pos = jnp.arange(total, dtype=jnp.int32)
     last_build_pos = jax.lax.cummax(jnp.where(is_build_s, pos, -1))
