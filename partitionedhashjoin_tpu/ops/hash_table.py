@@ -453,6 +453,38 @@ def probe_chained_get(table: ChainedHashTable, keys: jax.Array):
     return _probe_chained_block(table, keys)
 
 
+@jax.jit
+def probe_chained_count_all(
+    table: ChainedHashTable, keys: jax.Array
+) -> jax.Array:
+    """int32[n]: build multiplicity per probe key (``GetAll`` cardinality,
+    SeparateChaining.hpp:256-265 semantics) — windows scan each bucket chain
+    to its end, accumulating matches."""
+    n = keys.shape[0]
+    keys = _as_i32_keys(keys)
+    bucket = _bucket_of(keys, table.seed, table.num_buckets - 1)
+    start = table.offsets[bucket]
+    end = table.offsets[bucket + 1]
+
+    def window_pass(state):
+        pos, active, matches = state
+        idx = pos[:, None] + jnp.arange(PROBE_WINDOW, dtype=jnp.int32)[None, :]
+        in_chain = idx < end[:, None]
+        idx_c = jnp.minimum(idx, table.entry_keys.shape[0] - 1)
+        wkeys = table.entry_keys[idx_c]
+        match = in_chain & (wkeys == keys[:, None]) & active[:, None]
+        matches = matches + jnp.sum(match.astype(jnp.int32), axis=1)
+        pos = pos + PROBE_WINDOW
+        active = active & (pos < end)
+        return pos, active, matches
+
+    init = (start, (start < end), jnp.zeros((n,), jnp.int32))
+    _, _, matches = jax.lax.while_loop(
+        lambda s: jnp.any(s[1]), window_pass, init
+    )
+    return matches
+
+
 @functools.partial(
     jax.jit, static_argnums=(2,), static_argnames=("size", "has_valid")
 )

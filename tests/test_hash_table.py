@@ -154,3 +154,12 @@ class TestChainedTable:
         count = int(ht.probe_chained_count(table, jnp.asarray(probe)))
         assert count == 1
         assert int(table.max_chain) == 64
+
+    def test_count_all_multiset_semantics(self):
+        rng = np.random.default_rng(5)
+        build = rng.integers(0, 40, 1500).astype(np.int32)
+        probe = np.arange(-5, 45, dtype=np.int32)
+        table = self._build(build)
+        got = np.asarray(ht.probe_chained_count_all(table, jnp.asarray(probe)))
+        expected = np.array([(build == k).sum() for k in probe], np.int32)
+        np.testing.assert_array_equal(got, expected)
