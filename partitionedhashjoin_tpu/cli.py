@@ -84,7 +84,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def parse_arguments(argv: Optional[Sequence[str]] = None) -> Configuration:
+def parse_arguments(argv: Optional[Sequence[str]] = None) -> "tuple[Configuration, argparse.Namespace]":
     args = build_parser().parse_args(argv)
     config = Configuration()
     config.primary_relation_size = args.primary
@@ -101,13 +101,15 @@ def parse_arguments(argv: Optional[Sequence[str]] = None) -> Configuration:
         config.radix_clustering_config.number_of_partitions = args.partitions
     config.seed = args.seed
     # cross-field check (src/Arguments.hpp:7-18): --partitions is only legal
-    # with the radix join; the extended join names validate the same way
-    if args.partitions is not None and args.join != "radix-partitioning":
-        raise SystemExit(
-            "Number of partitions can only be specified for "
-            "radix-partitioning join algorithm."
+    # with the radix join.  Extended join names (sort-merge/shuffle) leave
+    # config.join_type at the non-radix default, so the shared validator
+    # covers them too.
+    try:
+        validate_parsed_configuration(
+            config, partitions_given=args.partitions is not None
         )
-    validate_parsed_configuration(config, partitions_given=False)
+    except ValueError as e:
+        raise SystemExit(str(e)) from e
     return config, args
 
 

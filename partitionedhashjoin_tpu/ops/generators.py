@@ -50,11 +50,19 @@ def _zipf_params(alpha: float, cardinality: int) -> Tuple[float, float, float]:
     return alpha, skew_differential, normalization
 
 
-def zipf_candidates(u1, u2, alpha: float, cardinality: int):
+def zipf_candidates(u1, u2, alpha: float, cardinality: int, u3=None):
     """One vectorized accept/reject round given uniforms in [0, 1).
 
     Returns (samples int32 in [1, cardinality], accepted bool).  Pure jnp —
     usable inside Pallas kernels with hardware PRNG uniforms.
+
+    Float32 has a 24-bit mantissa, so for cardinality > 2^24 the inverse-CDF
+    lands only on multiples of the local float spacing (4 at 2^24..2^25, 8
+    above, ...), making most large keys unreachable.  ``u3`` dithers the
+    integer sample uniformly within its float32 quantum: the Zipf density's
+    relative change across one quantum is alpha * spacing / k < 2^-23, so
+    the dithered distribution is exact to ~1e-7 — the reference samples in
+    double (Zipf.cpp) where no dither is needed.
     """
     alpha_c, sd, norm = _zipf_params(alpha, cardinality)
     dtype = u1.dtype
@@ -77,7 +85,23 @@ def zipf_candidates(u1, u2, alpha: float, cardinality: int):
     )
     ratio = density_original / (density_sampling * norm_v)
     accepted = u2 < ratio
-    return sample.astype(jnp.int32), accepted
+
+    sample_i = sample.astype(jnp.int32)
+    if u3 is not None and cardinality > (1 << 24):
+        # float32 spacing at |sample|: 2^(exponent - 23); uniform dither
+        # within [sample, sample + spacing) re-populates the skipped ints
+        exponent = (
+            (jax.lax.bitcast_convert_type(sample.astype(jnp.float32), jnp.int32)
+             >> 23) & 0xFF
+        ) - 127
+        spacing = jnp.where(
+            exponent > 23,
+            jnp.left_shift(jnp.int32(1), jnp.maximum(exponent - 23, 0)),
+            1,
+        )
+        dither = (u3 * spacing.astype(jnp.float32)).astype(jnp.int32)
+        sample_i = jnp.minimum(sample_i + dither, cardinality)
+    return sample_i, accepted
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
@@ -100,8 +124,8 @@ def zipf_keys(
     def round_body(state):
         rng, vals, accepted, i = state
         rng, sub = jax.random.split(rng)
-        u = jax.random.uniform(sub, (2, n), dtype=jnp.float32)
-        sample, ok = zipf_candidates(u[0], u[1], alpha, cardinality)
+        u = jax.random.uniform(sub, (3, n), dtype=jnp.float32)
+        sample, ok = zipf_candidates(u[0], u[1], alpha, cardinality, u3=u[2])
         take = jnp.logical_and(ok, jnp.logical_not(accepted))
         vals = jnp.where(take, sample, vals)
         accepted = jnp.logical_or(accepted, ok)
@@ -152,7 +176,13 @@ def zipf_table(
         )
     cardinality = hi - lo + 1
     correction = lo - 1
-    rng = jax.random.PRNGKey(0 if seed is None else seed)
+    if seed is None:
+        # fresh entropy, like the reference's random_device-seeded factory
+        # (src/Common/Random.cpp:32-41)
+        import numpy as _np
+
+        seed = int(_np.random.SeedSequence().entropy & 0x7FFFFFFF)
+    rng = jax.random.PRNGKey(seed)
     ids = zipf_keys(rng, n, float(alpha), int(cardinality))
     ids = (ids + jnp.asarray(correction, jnp.int32)).astype(dtype)
     return make_table(ids, jnp.arange(n, dtype=dtype))

@@ -63,6 +63,20 @@ def _as_i32_keys(keys):
     return keys.astype(jnp.int32)
 
 
+def dispatch_chunks(n: int, target: int = 25_000_000) -> int:
+    """Largest divisor of n keeping probe chunks near ``target`` rows.
+
+    Chunking happens at the DISPATCH level (separate jit calls): one fused
+    program gathering 200M chains for tens of seconds trips the device
+    watchdog, and per-chunk temporaries stay bounded.
+    """
+    want = max(1, n // target)
+    for k in range(want, 0, -1):
+        if n % k == 0:
+            return k
+    return 1
+
+
 def table_size_for(n: int, ratio: float = DEFAULT_SIZE_RATIO) -> int:
     """Power-of-two slot count >= ratio * n (cf. getNumberOfBuckets,
     src/HashTables/LinearProbing.cpp:7-12 — ceil(ratio*n), made pow2 here so
@@ -403,29 +417,6 @@ def _probe_chained_count_chunk(
     return jnp.sum(found.astype(jnp.int32))
 
 
-def probe_chained_count_buckets(
-    table: ChainedHashTable,
-    keys: jax.Array,
-    bucket: jax.Array,
-    num_chunks: int = 1,
-) -> jax.Array:
-    """Chunked-dispatch count with caller-supplied bucket ids."""
-    n = keys.shape[0]
-    keys = _as_i32_keys(keys)
-    if num_chunks <= 1 or n % num_chunks:
-        return _probe_chained_count_chunk(table, keys, bucket)
-    m = n // num_chunks
-    total = None
-    for c in range(num_chunks):
-        cnt = _probe_chained_count_chunk(
-            table,
-            jax.lax.dynamic_slice(keys, (c * m,), (m,)),
-            jax.lax.dynamic_slice(bucket, (c * m,), (m,)),
-        )
-        total = cnt if total is None else total + cnt
-    return total
-
-
 def probe_chained_count(
     table: ChainedHashTable, keys: jax.Array, num_chunks: int = 1
 ) -> jax.Array:
@@ -568,14 +559,14 @@ def build_dedup_hash_table(
 
 
 # ---------------------------------------------------------------------------
-# Segmented tables: one flat buffer holding P per-partition sub-tables.
+# Segment geometry: P per-partition bucket ranges in one flat space.
 #
 # The radix join's "factory.New(|A_p|) per partition" loop
-# (src/RadixCluster/HashJoin.hpp:278-286) becomes a single vectorized build
-# over all partitions at once: every row carries its partition's (offset, cap)
-# pair and probes ``offset + (h + d) % cap``.  Capacities are data-dependent
-# (Zipf partitions are very uneven) but live inside a *static* buffer of
-# ``segmented_capacity`` slots, so shapes stay XLA-friendly.
+# (src/RadixCluster/HashJoin.hpp:278-286) becomes per-partition bucket
+# ranges inside one flat chained table (ops/radix_cluster.py).  Capacities
+# are data-dependent (Zipf partitions are very uneven) but live inside a
+# *static* budget of ``segmented_capacity`` buckets, so shapes stay
+# XLA-friendly.
 # ---------------------------------------------------------------------------
 
 #: Per-partition capacity rounding granularity (slots).
@@ -590,141 +581,27 @@ def segmented_capacity(
     return int(n * ratio) + num_partitions * SEGMENT_GRANULE
 
 
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class SegmentedHashTable:
-    """P sub-tables in one flat slot buffer (+ per-partition geometry)."""
-
-    slot_keys: jax.Array  # int32[capacity]
-    slot_rows: jax.Array  # int32[capacity], -1 == empty
-    seg_offsets: jax.Array  # int32[P] sub-table start slot
-    seg_caps: jax.Array  # int32[P] sub-table slot count
-    max_probe: jax.Array  # int32 scalar, across all partitions
-    seed: jax.Array  # uint32 scalar hash seed
-
-    @property
-    def capacity(self) -> int:
-        return self.slot_keys.shape[0]
-
 
 def segment_geometry(histogram: jax.Array, ratio: float = DEFAULT_SIZE_RATIO):
-    """(offsets, caps) for per-partition sub-tables sized ratio * |A_p|,
+    """(offsets, caps) for per-partition bucket ranges sized ratio * |A_p|,
     rounded up to SEGMENT_GRANULE (getNumberOfBuckets semantics,
-    src/HashTables/LinearProbing.cpp:7-12, per partition)."""
-    want = jnp.ceil(histogram.astype(jnp.float32) * ratio).astype(jnp.int32)
+    src/HashTables/LinearProbing.cpp:7-12, per partition).
+
+    Integer arithmetic throughout: float32 ceil is inexact above 2^24 rows
+    per partition and could push total capacity past the static budget,
+    producing out-of-range bucket ids that silently drop rows.  ``ratio``
+    is rationalized (exact for the 1.0 / 1.25 / 2.0 ratios in use).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(ratio).limit_denominator(64)
+    num, den = frac.numerator, frac.denominator
+    want = (histogram * num + (den - 1)) // den  # ceil(hist * ratio), exact
     caps = (
         (want + (SEGMENT_GRANULE - 1)) // SEGMENT_GRANULE * SEGMENT_GRANULE
     )
-    caps = jnp.maximum(caps, SEGMENT_GRANULE)
+    caps = jnp.maximum(caps, SEGMENT_GRANULE).astype(jnp.int32)
     offsets = jnp.cumsum(caps) - caps
     return offsets, caps
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",))
-def build_segmented(
-    keys: jax.Array,
-    pid: jax.Array,
-    valid: jax.Array,
-    seg_offsets: jax.Array,
-    seg_caps: jax.Array,
-    seed: jax.Array,
-    capacity: int,
-) -> SegmentedHashTable:
-    """Insert every valid row into its partition's sub-table.
-
-    Same deterministic claim/resolve loop as ``build_hash_table`` but with
-    per-row segment geometry; rows with ``valid == False`` (partition padding)
-    are never inserted.
-    """
-    n = keys.shape[0]
-    keys = _as_i32_keys(keys)
-    seed = jnp.asarray(seed).astype(jnp.uint32)
-    offset = seg_offsets[pid]
-    cap = seg_caps[pid]
-    home = (
-        hashing.hash32(keys, seed) % cap.astype(jnp.uint32)
-    ).astype(jnp.int32)
-    row_ids = jnp.arange(n, dtype=jnp.int32)
-
-    def body(state):
-        slot_keys, slot_rows, dist, pending, max_probe = state
-        local = home + dist
-        local = jnp.where(local >= cap, local - cap, local)  # wrap in-segment
-        slot = offset + local
-        occupied = slot_rows[slot] >= 0
-        advance = pending & occupied
-        dist = jnp.where(advance, dist + 1, dist)
-        trying = pending & ~occupied
-        claim_slot = jnp.where(trying, slot, capacity)
-        claims = (
-            jnp.full((capacity + 1,), _INT32_MAX, jnp.int32)
-            .at[claim_slot]
-            .min(row_ids)
-        )
-        won = trying & (claims[slot] == row_ids)
-        write_slot = jnp.where(won, slot, capacity)
-        slot_keys = slot_keys.at[write_slot].set(keys, mode="drop")
-        slot_rows = slot_rows.at[write_slot].set(row_ids, mode="drop")
-        pending = pending & ~won
-        max_probe = jnp.maximum(
-            max_probe, jnp.max(jnp.where(won, dist, 0), initial=0)
-        )
-        return slot_keys, slot_rows, dist, pending, max_probe
-
-    init = (
-        jnp.zeros((capacity,), jnp.int32),
-        jnp.full((capacity,), -1, jnp.int32),
-        jnp.zeros((n,), jnp.int32),
-        jnp.asarray(valid, jnp.bool_),
-        jnp.asarray(0, jnp.int32),
-    )
-    slot_keys, slot_rows, _, _, max_probe = jax.lax.while_loop(
-        lambda s: jnp.any(s[3]), body, init
-    )
-    return SegmentedHashTable(
-        slot_keys=slot_keys,
-        slot_rows=slot_rows,
-        seg_offsets=seg_offsets,
-        seg_caps=seg_caps,
-        max_probe=max_probe,
-        seed=seed,
-    )
-
-
-@jax.jit
-def probe_segmented_exists(
-    table: SegmentedHashTable,
-    keys: jax.Array,
-    pid: jax.Array,
-    valid: jax.Array,
-) -> jax.Array:
-    """bool[n]: does probe row i match inside its partition's sub-table?"""
-    n = keys.shape[0]
-    keys = _as_i32_keys(keys)
-    offset = table.seg_offsets[pid]
-    cap = table.seg_caps[pid]
-    home = (
-        hashing.hash32(keys, table.seed) % cap.astype(jnp.uint32)
-    ).astype(jnp.int32)
-
-    def body(state):
-        dist, active, found = state
-        local = home + dist
-        local = jnp.where(local >= cap, local - cap, local)
-        slot = offset + local
-        rows = table.slot_rows[slot]
-        slot_keys = table.slot_keys[slot]
-        occupied = rows >= 0
-        hit = active & occupied & (slot_keys == keys)
-        empty = active & ~occupied
-        found = found | hit
-        active = active & ~hit & ~empty & (dist < table.max_probe)
-        return dist + 1, active, found
-
-    init = (
-        jnp.zeros((n,), jnp.int32),
-        jnp.asarray(valid, jnp.bool_),
-        jnp.zeros((n,), jnp.bool_),
-    )
-    _, _, found = jax.lax.while_loop(lambda s: jnp.any(s[1]), body, init)
-    return found

@@ -31,19 +31,6 @@ from partitionedhashjoin_tpu.utils.logger import get_new_logger
 from partitionedhashjoin_tpu.utils.results import IHashJoinTimer, NoOpHashJoinTimer
 
 
-#: probe rows per sequential chunk — bounds the (rows, WINDOW) gather temp
-_PROBE_CHUNK_TARGET = 25_000_000
-
-
-def _num_chunks(n: int) -> int:
-    """Largest divisor of n that keeps chunks near the target size."""
-    want = max(1, n // _PROBE_CHUNK_TARGET)
-    for k in range(want, 0, -1):
-        if n % k == 0:
-            return k
-    return 1
-
-
 @jax.jit
 def _probe_gather(
     table: ht.ChainedHashTable,
@@ -120,7 +107,7 @@ class NoPartitioningHashJoiner:
 
         timer.set_probe_phase_begin()
         count = ht.probe_chained_count(
-            hash_tbl, table_b.keys, num_chunks=_num_chunks(table_b.size)
+            hash_tbl, table_b.keys, num_chunks=ht.dispatch_chunks(table_b.size)
         )
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()

@@ -144,14 +144,6 @@ def _probe_phase(
     return total
 
 
-def _num_chunks(n: int, target: int = 25_000_000) -> int:
-    want = max(1, n // target)
-    for k in range(want, 0, -1):
-        if n % k == 0:
-            return k
-    return 1
-
-
 class RadixHashJoiner:
     """Driver mirroring RadixCluster::HashJoiner (HashJoin.hpp:91-135).
 
@@ -223,7 +215,7 @@ class RadixHashJoiner:
             boff,
             bcnt,
             p,
-            num_chunks=_num_chunks(table_b.size),
+            num_chunks=ht.dispatch_chunks(table_b.size),
         )
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()

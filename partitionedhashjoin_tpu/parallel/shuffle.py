@@ -172,7 +172,6 @@ def _exchange(
         # hot build rows are replicated everywhere (all_gather); hot probe
         # rows stay local (is_hot_b mask re-used in the probe phase)
         if use_hot:
-            zero = jnp.zeros((hot_cap,), jnp.int32)
             hot_sorted = jax.lax.sort(
                 (jnp.where(is_hot_a, 0, 1), keys_a, pays_a),
                 num_keys=1,
@@ -180,8 +179,19 @@ def _exchange(
             )
             n_hot = jnp.sum(is_hot_a.astype(jnp.int32))
             take = jnp.arange(hot_cap, dtype=jnp.int32)
-            hk_local = jnp.where(take < n_hot, hot_sorted[1][:hot_cap], zero)
-            hp_local = jnp.where(take < n_hot, hot_sorted[2][:hot_cap], zero)
+            # hot_cap may exceed the local row count after an overflow retry
+            # grows it; pad the compacted prefix to the static capacity
+            local_n = keys_a.shape[0]
+            slice_n = min(hot_cap, local_n)
+
+            def fit(col):
+                return jnp.zeros((hot_cap,), col.dtype).at[:slice_n].set(
+                    col[:slice_n]
+                )
+
+            zero = jnp.zeros((hot_cap,), jnp.int32)
+            hk_local = jnp.where(take < n_hot, fit(hot_sorted[1]), zero)
+            hp_local = jnp.where(take < n_hot, fit(hot_sorted[2]), zero)
             hv_local = take < n_hot
             drop_hot = jnp.maximum(n_hot - hot_cap, 0)
             hk = jax.lax.all_gather(hk_local, SHARD_AXIS).reshape(-1)
@@ -264,21 +274,9 @@ def _probe_and_count(
 ):
     """Probe phase: cold rows vs local table, hot rows vs replicated hot
     table; psum for the global count (HashJoin.hpp:156's atomic analogue)."""
-    if use_hot:
-        hot_table = ht.build_hash_table(
-            hot_keys_a,
-            hot_build_seed,
-            hot_table_size,
-            valid=hot_valid_a,
-            has_valid=True,
-        )
-    else:
-        hot_table = ht.HashTable(  # unused placeholder, keeps arity static
-            slot_keys=jnp.zeros((1,), jnp.int32),
-            slot_rows=jnp.full((1,), -1, jnp.int32),
-            max_probe=jnp.asarray(0, jnp.int32),
-            seed=jnp.asarray(0, jnp.uint32),
-        )
+    hot_table = _hot_table_or_placeholder(
+        use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
+    )
 
     def local(slot_keys, slot_rows, max_probe, seed, rkb, rvb, kb, ihb, hot_tbl):
         table = ht.HashTable(
@@ -315,6 +313,28 @@ def _probe_and_count(
     return out[0]
 
 
+
+def _hot_table_or_placeholder(
+    use_hot: bool, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size: int
+) -> ht.HashTable:
+    """The replicated hot-key build table, or a 1-slot placeholder keeping
+    shard_map arity static when skew handling is off."""
+    if use_hot:
+        return ht.build_hash_table(
+            hot_keys_a,
+            hot_build_seed,
+            hot_table_size,
+            valid=hot_valid_a,
+            has_valid=True,
+        )
+    return ht.HashTable(
+        slot_keys=jnp.zeros((1,), jnp.int32),
+        slot_rows=jnp.full((1,), -1, jnp.int32),
+        max_probe=jnp.asarray(0, jnp.int32),
+        seed=jnp.asarray(0, jnp.uint32),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cap_b", "use_hot", "hot_table_size", "num_chunks"),
@@ -345,21 +365,9 @@ def _pipelined_probe(
     each bucket, so round-robin striping loads chunks evenly."""
     from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
-    if use_hot:
-        hot_table = ht.build_hash_table(
-            hot_keys_a,
-            hot_build_seed,
-            hot_table_size,
-            valid=hot_valid_a,
-            has_valid=True,
-        )
-    else:
-        hot_table = ht.HashTable(
-            slot_keys=jnp.zeros((1,), jnp.int32),
-            slot_rows=jnp.full((1,), -1, jnp.int32),
-            max_probe=jnp.asarray(0, jnp.int32),
-            seed=jnp.asarray(0, jnp.uint32),
-        )
+    hot_table = _hot_table_or_placeholder(
+        use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
+    )
 
     def local(rka, rva, bkb, bvb, kb, ihb, hot_tbl):
         num_shards = jax.lax.axis_size(SHARD_AXIS)
@@ -435,21 +443,9 @@ def _sort_merge_local_count(
     rows, mirroring the single-chip flagship."""
     from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
-    if use_hot:
-        hot_table = ht.build_hash_table(
-            hot_keys_a,
-            hot_build_seed,
-            hot_table_size,
-            valid=hot_valid_a,
-            has_valid=True,
-        )
-    else:
-        hot_table = ht.HashTable(
-            slot_keys=jnp.zeros((1,), jnp.int32),
-            slot_rows=jnp.full((1,), -1, jnp.int32),
-            max_probe=jnp.asarray(0, jnp.int32),
-            seed=jnp.asarray(0, jnp.uint32),
-        )
+    hot_table = _hot_table_or_placeholder(
+        use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
+    )
 
     def local(rka, rva, rkb, rvb, kb, ihb, hot_tbl):
         count = sort_merge_count(rka, rkb, rva, rvb)
@@ -592,6 +588,7 @@ class DistributedShuffleJoiner:
             hot_valid = jnp.zeros((self._hot_capacity,), jnp.bool_)
 
         slack = self._slack
+        hot_cap = self._hot_capacity
         pipelined = self._pipeline_chunks > 1
         for attempt in range(self._max_retries):
             cap_a = self._capacity(table_a.size // s, slack)
@@ -599,7 +596,6 @@ class DistributedShuffleJoiner:
             if pipelined:
                 k = self._pipeline_chunks
                 cap_b = (cap_b + k - 1) // k * k
-            hot_cap = self._hot_capacity
 
             timer.set_partitioning_phase_begin()
             (
@@ -630,7 +626,12 @@ class DistributedShuffleJoiner:
                     "bucket overflow (a=%d b=%d hot=%d) at slack %.1f; retrying",
                     int(dropped[0]), int(dropped[1]), int(dropped[2]), slack,
                 )
-                slack *= 2
+                # grow the capacity that actually overflowed: doubling slack
+                # cannot fix a hot-replication overflow (hot_cap is separate)
+                if int(dropped[0]) > 0 or int(dropped[1]) > 0:
+                    slack *= 2
+                if int(dropped[2]) > 0:
+                    hot_cap = hot_cap * 4 + int(dropped[2])
                 continue
 
             if pipelined:

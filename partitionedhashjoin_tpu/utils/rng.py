@@ -42,17 +42,23 @@ class MultiplicativeLCG:
         return self._state / _M
 
     def next_batch(self, n: int) -> np.ndarray:
-        """Vectorized batch: states s*a^1..s*a^n mod m via cumulative products.
+        """Vectorized batch: states s * a^k mod m for k = 1..n.
 
-        Uses python ints (exact) chunk-wise; returns float64 in (0,1).
+        uint64 modmul is exact here (a * state < 16807 * 2^31 < 2^46), so the
+        recurrence vectorizes as a doubling scan: each round advances the
+        second half of the computed prefix by a^len(prefix) — log2(n) numpy
+        passes instead of n Python-level steps.  Returns float64 in (0, 1).
         """
-        out = np.empty(n, dtype=np.float64)
-        s = self._state
-        for i in range(n):
-            s = (_A * s) % _M
-            out[i] = s / _M
-        self._state = s
-        return out
+        states = np.empty(n + 1, dtype=np.uint64)
+        states[0] = self._state
+        filled = 1
+        while filled < n + 1:
+            take = min(filled, n + 1 - filled)
+            step = np.uint64(pow(_A, filled, _M))  # a^filled mod m
+            states[filled : filled + take] = (states[:take] * step) % _M
+            filled += take
+        self._state = int(states[n])
+        return states[1:].astype(np.float64) / _M
 
     @property
     def state(self) -> int:

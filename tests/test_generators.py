@@ -99,3 +99,28 @@ def test_table_is_pytree():
     t = generators.sequential_table(64)
     t2 = jax.jit(lambda x: Table(x.keys + 1, x.payloads, x.uuid))(t)
     np.testing.assert_array_equal(np.asarray(t2.keys), np.asarray(t.keys) + 1)
+
+
+def test_zipf_large_cardinality_reaches_odd_keys():
+    # float32 inverse-CDF quantizes to multiples of 4/8 above 2^24; the
+    # dither must re-populate the skipped integers
+    from partitionedhashjoin_tpu.ops.generators import zipf_keys
+    import jax
+
+    card = 100_000_000
+    keys = np.asarray(
+        zipf_keys(jax.random.PRNGKey(3), 50_000, 1.05, card)
+    )
+    big = keys[keys > (1 << 24)]
+    assert len(big) > 1000  # the tail is well-populated at alpha=1.05
+    odd_frac = (big % 2 == 1).mean()
+    assert 0.4 < odd_frac < 0.6, f"odd fraction {odd_frac}"
+    assert keys.min() >= 1 and keys.max() <= card
+
+
+def test_zipf_unseeded_runs_differ():
+    from partitionedhashjoin_tpu.ops.generators import zipf_table
+
+    k1 = np.asarray(zipf_table(2000, 1.05, (1, 500), seed=None).keys)
+    k2 = np.asarray(zipf_table(2000, 1.05, (1, 500), seed=None).keys)
+    assert not np.array_equal(k1, k2)

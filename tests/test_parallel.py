@@ -172,3 +172,19 @@ def test_pipelined_with_zipf_skew(mesh8):
     )
     count = DistributedShuffleJoiner(mesh8, seed=5, pipeline_chunks=4).run(a, b)
     assert count == 32768
+
+
+def test_hot_capacity_overflow_grows_hot_cap(mesh8):
+    # >hot_capacity duplicate build rows of one hot key: doubling slack can
+    # never fix the hot-replication overflow; the retry must grow hot_cap
+    rng = np.random.default_rng(55)
+    n_a, n_b = 2048, 8192
+    a_keys = rng.integers(100, 5000, n_a).astype(np.int32)
+    a_keys[:512] = 7  # 512 duplicate build rows of the hot key
+    b_keys = rng.integers(100, 5000, n_b).astype(np.int32)
+    b_keys[:4096] = 7  # hot probe side ensures key 7 is planned hot
+    a = shard_table(make_table(a_keys, np.arange(n_a, dtype=np.int32)), mesh8)
+    b = shard_table(make_table(b_keys, np.arange(n_b, dtype=np.int32)), mesh8)
+    joiner = DistributedShuffleJoiner(mesh8, seed=3, hot_capacity=16)
+    count = joiner.run(a, b)
+    assert count == int(np.isin(b_keys, a_keys).sum())

@@ -40,3 +40,16 @@ def test_factory():
     assert isinstance(g, MultiplicativeLCG)
     # fresh-entropy generators differ
     assert f.get_new_generator().next() != f.get_new_generator().next()
+
+
+def test_next_batch_matches_scalar_stream():
+    from partitionedhashjoin_tpu.utils.rng import MultiplicativeLCG
+
+    a = MultiplicativeLCG(123456789)
+    b = MultiplicativeLCG(123456789)
+    scalar = [a.next() for _ in range(1000)]
+    batch = b.next_batch(1000)
+    assert scalar == batch.tolist()
+    assert a.state == b.state
+    # stream continues correctly after a batch
+    assert a.next() == b.next()
