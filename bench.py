@@ -80,31 +80,30 @@ def main() -> None:
 
     t0 = time.perf_counter()
     table_a = sequential_table(n_a)
-    # Probe keys come from the native host generator with an npy disk cache:
-    # the device Zipf program costs 150-200s of remote compile per process
-    # (the tunnel's compile cache is unreliable), while a cached host array
-    # costs ~1s load + the device transfer.
-    cache_dir = os.path.join(_REPO, ".bench_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    cache_file = os.path.join(cache_dir, f"zipf_{n_b}_{skew}_20260816.npy")
-    import numpy as np
+    # Probe keys are sampled ON DEVICE with the exact Vose alias method:
+    # the native builder produces 8 B/key-of-domain tables (80 MB at 10M
+    # cardinality) so only the tables cross the slow relay, not the 800 MB
+    # relation.  (The rejection sampler's while_loop costs 150-200 s of
+    # remote compile; the alias program is small.  Fallback for domains
+    # beyond 2^24: host generation + transfer.)
+    from partitionedhashjoin_tpu.data import host_loader
 
-    if os.path.exists(cache_file):
-        ids_np = np.load(cache_file)
-        log(f"loaded cached probe keys: {time.perf_counter() - t0:.1f}s")
+    if n_a <= (1 << 24):
+        from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
+
+        prob_np, alias_np = host_loader.build_zipf_alias(skew, n_a)
+        prob, alias = jax.device_put(prob_np), jax.device_put(alias_np)
+        ids = zipf_keys_alias(jax.random.PRNGKey(20260816), n_b, prob, alias)
     else:
-        from partitionedhashjoin_tpu.data import host_loader
+        import numpy as np
 
         ids_np, _ = host_loader.generate_zipf(
             n_b, skew, (1, n_a), seed=20260816
         )
-        np.save(cache_file, ids_np)
-        log(f"host-generated probe keys: {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    ids = jax.device_put(ids_np)
+        ids = jax.device_put(ids_np)
     table_b = Table(keys=ids, payloads=jnp.zeros((n_b,), jnp.int32))
     sync((table_a.keys, table_b.keys))
-    log(f"transfer: {time.perf_counter() - t0:.1f}s")
+    log(f"generate: {time.perf_counter() - t0:.1f}s")
 
     best = None
     for algo in algos:

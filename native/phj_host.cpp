@@ -225,6 +225,40 @@ void phj_generate_zipf(double alpha, int64_t lo_key, int64_t hi_key,
   pool.RunBatch(std::move(tasks));
 }
 
+// Build Vose alias tables for Zipf(alpha) over [1, cardinality]: after this,
+// sampling is exact with two table lookups (bin = floor(u1*n); emit bin+1 if
+// u2 < prob[bin] else alias[bin]+1).  O(n) construction; used to move Zipf
+// generation onto the device with an 8-bytes-per-key table instead of
+// transferring whole relations.
+void phj_build_zipf_alias(double alpha, int64_t cardinality, float* prob,
+                          int32_t* alias) {
+  // normalized pmf, scaled by n (Vose's algorithm works on n*p_i)
+  std::vector<double> scaled(cardinality);
+  double z = 0.0;
+  for (int64_t k = 1; k <= cardinality; ++k) {
+    scaled[k - 1] = std::pow(static_cast<double>(k), -alpha);
+    z += scaled[k - 1];
+  }
+  double n_over_z = static_cast<double>(cardinality) / z;
+  std::vector<int32_t> small, large;
+  small.reserve(cardinality);
+  large.reserve(cardinality);
+  for (int64_t i = 0; i < cardinality; ++i) {
+    scaled[i] *= n_over_z;
+    (scaled[i] < 1.0 ? small : large).push_back(static_cast<int32_t>(i));
+  }
+  while (!small.empty() && !large.empty()) {
+    int32_t s = small.back(); small.pop_back();
+    int32_t l = large.back(); large.pop_back();
+    prob[s] = static_cast<float>(scaled[s]);
+    alias[s] = l;
+    scaled[l] = (scaled[l] + scaled[s]) - 1.0;
+    (scaled[l] < 1.0 ? small : large).push_back(l);
+  }
+  for (int32_t s : small) { prob[s] = 1.0f; alias[s] = s; }
+  for (int32_t l : large) { prob[l] = 1.0f; alias[l] = l; }
+}
+
 // Host-side exact match count (Get-semantics: one count per probe row whose
 // key exists in the build relation).  Single-threaded hash-set oracle used
 // by tests to validate device joins at sizes where numpy gets slow.

@@ -54,6 +54,13 @@ def _load() -> ctypes.CDLL:
             i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32,
         ]
         lib.phj_host_join_count.restype = ctypes.c_int64
+        lib.phj_build_zipf_alias.argtypes = [
+            ctypes.c_double,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            i32p,
+        ]
+        lib.phj_build_zipf_alias.restype = None
         _lib = lib
         return lib
 
@@ -97,6 +104,24 @@ def generate_zipf(
         float(alpha), lo, hi, seed, _ptr(keys), _ptr(payloads), n, _workers(workers)
     )
     return keys, payloads
+
+
+def build_zipf_alias(alpha: float, cardinality: int):
+    """Exact Vose alias tables for Zipf(alpha) over [1, cardinality].
+
+    Returns (prob float32[n], alias int32[n]); sampling is then two lookups
+    per draw (ops/generators.py::zipf_keys_alias) — exact, no rejection.
+    """
+    lib = _load()
+    prob = np.empty(cardinality, np.float32)
+    alias = np.empty(cardinality, np.int32)
+    lib.phj_build_zipf_alias(
+        float(alpha),
+        cardinality,
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        _ptr(alias),
+    )
+    return prob, alias
 
 
 def host_join_count(

@@ -145,6 +145,34 @@ def zipf_keys(
     return vals
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def zipf_keys_alias(
+    key: jax.Array, n: int, prob: jax.Array, alias: jax.Array
+) -> jax.Array:
+    """n Zipf samples via Vose alias tables (exact, rejection-free).
+
+    ``(prob, alias)`` come from the native builder
+    (data/host_loader.py::build_zipf_alias); each draw is two uniforms and
+    two gathers: bin = floor(u1 * card); emit bin if u2 < prob[bin] else
+    alias[bin] (+1 for the 1-based key range).  Preferred when the alias
+    tables (8 B/key of the *cardinality*, not the relation) are cheap to
+    build/transfer — e.g. 80 MB for cardinality 10M vs 800 MB for a 200M-row
+    relation.  Cardinality must be <= 2^24 (float32 bin selection is exact
+    there; larger domains use the dithered rejection sampler, zipf_keys).
+    """
+    card = prob.shape[0]
+    if card > (1 << 24):
+        raise ValueError(
+            "alias sampler requires cardinality <= 2^24; use zipf_keys"
+        )
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (n,), dtype=jnp.float32)
+    u2 = jax.random.uniform(k2, (n,), dtype=jnp.float32)
+    bin_ = jnp.minimum((u1 * card).astype(jnp.int32), card - 1)
+    take_bin = u2 < prob[bin_]
+    return jnp.where(take_bin, bin_, alias[bin_]) + 1
+
+
 def sequential_keys(n: int, start: int = 1, dtype=jnp.int32) -> jax.Array:
     """ids start..start+n-1 (Sequential.cpp:20-25)."""
     return start + jnp.arange(n, dtype=dtype)

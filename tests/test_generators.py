@@ -10,6 +10,7 @@ import math
 
 import jax
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 from partitionedhashjoin_tpu.data.table import Table
@@ -124,3 +125,51 @@ def test_zipf_unseeded_runs_differ():
     k1 = np.asarray(zipf_table(2000, 1.05, (1, 500), seed=None).keys)
     k2 = np.asarray(zipf_table(2000, 1.05, (1, 500), seed=None).keys)
     assert not np.array_equal(k1, k2)
+
+
+class TestAliasSampler:
+    def test_alias_tables_encode_exact_pmf(self):
+        from partitionedhashjoin_tpu.data.host_loader import build_zipf_alias
+
+        card, alpha = 500, 1.25
+        prob, alias = build_zipf_alias(alpha, card)
+        pmf = np.zeros(card)
+        for i in range(card):
+            pmf[i] += prob[i]
+            pmf[alias[i]] += 1.0 - prob[i]
+        pmf /= card
+        expected = np.arange(1, card + 1, dtype=np.float64) ** -alpha
+        expected /= expected.sum()
+        assert np.abs(pmf - expected).max() < 1e-6
+
+    def test_alias_sampling_matches_true_distribution(self):
+        import jax
+
+        from partitionedhashjoin_tpu.data.host_loader import build_zipf_alias
+        from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
+
+        card, alpha, n = 1000, 1.05, 200_000
+        prob, alias = build_zipf_alias(alpha, card)
+        keys = np.asarray(
+            zipf_keys_alias(
+                jax.random.PRNGKey(0), n, jnp.asarray(prob), jnp.asarray(alias)
+            )
+        )
+        assert keys.min() >= 1 and keys.max() <= card
+        freq = np.bincount(keys, minlength=card + 1)[1:] / n
+        expected = np.arange(1, card + 1, dtype=np.float64) ** -alpha
+        expected /= expected.sum()
+        tv = 0.5 * np.abs(freq - expected).sum()
+        # TV to the true pmf is pure sampling noise: E[TV] ~ sqrt(card/(2*pi*n))
+        assert tv < 0.035, tv
+
+    def test_alias_rejects_large_cardinality(self):
+        import jax
+        import pytest
+
+        from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
+
+        prob = jnp.zeros((1 << 25,), jnp.float32)
+        alias = jnp.zeros((1 << 25,), jnp.int32)
+        with pytest.raises(ValueError):
+            zipf_keys_alias(jax.random.PRNGKey(0), 10, prob, alias)
