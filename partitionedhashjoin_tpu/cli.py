@@ -128,11 +128,17 @@ def generate_tables(config: Configuration, log):
         config.skew_parameter,
     )
     table_a = sequential_table(config.primary_relation_size)
+    # alias method: far cheaper device program than the rejection
+    # while_loop (matters on backends with slow remote compiles)
+    method = (
+        "alias" if config.primary_relation_size <= (1 << 24) else "rejection"
+    )
     table_b = zipf_table(
         config.secondary_relation_size,
         alpha=config.skew_parameter,
         key_range=(1, config.primary_relation_size),
         seed=config.seed,
+        method=method,
     )
     sync((table_a.keys, table_b.keys))
     return table_a, table_b

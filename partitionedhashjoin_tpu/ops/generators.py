@@ -191,11 +191,17 @@ def zipf_table(
     key_range: Tuple[int, int],
     seed: Optional[int] = None,
     dtype=jnp.int32,
+    method: str = "rejection",
 ) -> Table:
     """Secondary relation: Zipf ids over closed [lo, hi], payload = row index.
 
     Mirrors Zipf::FillTable (Zipf.cpp:58-108): range validation, closed-range
     cardinality, and the ``lo - 1`` correction.
+
+    ``method``: "rejection" (pure-device, the reference's sampler math) or
+    "alias" (native host-built Vose tables + two-gather device sampling —
+    exact, and its device program compiles far faster than the rejection
+    while_loop; requires cardinality <= 2^24).
     """
     lo, hi = key_range
     if lo >= hi:
@@ -211,6 +217,14 @@ def zipf_table(
 
         seed = int(_np.random.SeedSequence().entropy & 0x7FFFFFFF)
     rng = jax.random.PRNGKey(seed)
-    ids = zipf_keys(rng, n, float(alpha), int(cardinality))
+    if method == "alias" and cardinality <= (1 << 24):
+        from partitionedhashjoin_tpu.data.host_loader import build_zipf_alias
+
+        prob, alias = build_zipf_alias(float(alpha), int(cardinality))
+        ids = zipf_keys_alias(
+            rng, n, jax.device_put(prob), jax.device_put(alias)
+        )
+    else:
+        ids = zipf_keys(rng, n, float(alpha), int(cardinality))
     ids = (ids + jnp.asarray(correction, jnp.int32)).astype(dtype)
     return make_table(ids, jnp.arange(n, dtype=dtype))

@@ -63,15 +63,26 @@ def main() -> int:
     log(f"device: {jax.devices()[0]}")
     t0 = time.perf_counter()
     table_a = sequential_table(args.primary)
-    ids_np, _ = host_loader.generate_zipf(
-        args.secondary, args.skew, (1, args.primary), seed=args.seed
-    )
+    if args.primary <= (1 << 24):
+        from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
+
+        prob, alias = host_loader.build_zipf_alias(args.skew, args.primary)
+        ids = zipf_keys_alias(
+            jax.random.PRNGKey(args.seed),
+            args.secondary,
+            jax.device_put(prob),
+            jax.device_put(alias),
+        )
+    else:
+        ids_np, _ = host_loader.generate_zipf(
+            args.secondary, args.skew, (1, args.primary), seed=args.seed
+        )
+        ids = jax.device_put(ids_np)
     table_b = Table(
-        keys=jax.device_put(ids_np),
-        payloads=jnp.zeros((args.secondary,), jnp.int32),
+        keys=ids, payloads=jnp.zeros((args.secondary,), jnp.int32)
     )
     sync((table_a.keys, table_b.keys))
-    log(f"generate+transfer: {time.perf_counter() - t0:.0f}s")
+    log(f"generate: {time.perf_counter() - t0:.0f}s")
 
     formatter = JSONResultsFormatter(ResultsFormatConfiguration())
 
