@@ -562,7 +562,9 @@ class DistributedShuffleJoiner:
 
     def _capacity(self, rows_per_shard: int, slack: float) -> int:
         per_dest = rows_per_shard / self._num_shards
-        return max(16, int(per_dest * slack + 1))
+        # a shard can never send more than its own rows to one destination,
+        # so rows_per_shard is a hard cap (slack is meaningless at S=1)
+        return max(16, min(int(per_dest * slack + 1), rows_per_shard))
 
     def run(
         self,

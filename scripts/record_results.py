@@ -123,6 +123,26 @@ def main() -> int:
             "partitions_1.txt",
         )
         columns.append(("NoPartitioning", doc))
+    if "shuffle" in args.algos:
+        from partitionedhashjoin_tpu.parallel.mesh import make_mesh, shard_table
+        from partitionedhashjoin_tpu.parallel.shuffle import (
+            DistributedShuffleJoiner,
+        )
+
+        mesh = make_mesh()  # all local devices (1 on the tunneled chip)
+        a_sh = shard_table(table_a, mesh)
+        b_sh = shard_table(table_b, mesh)
+        joiner = DistributedShuffleJoiner(mesh, seed=7)
+        saved = (table_a, table_b)
+        table_a, table_b = a_sh, b_sh
+        doc = record(
+            joiner,
+            "DistributedShuffle",
+            "shuffle.txt",
+            [("NumberOfShards", str(mesh.devices.size))],
+        )
+        columns.append((f"Shuffle_{mesh.devices.size}", doc))
+        table_a, table_b = saved
     if "radix" in args.algos:
         from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
 
