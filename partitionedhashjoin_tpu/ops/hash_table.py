@@ -411,10 +411,74 @@ def _probe_chained_block(
 def _probe_chained_count_chunk(
     table: ChainedHashTable, keys: jax.Array, bucket=None
 ) -> jax.Array:
-    found, _ = _probe_chained_block(
-        table, keys, bucket=bucket, need_rows=False
+    """Count-only probe, tail-compacted.
+
+    The lockstep window loop costs FULL-array gathers per pass, and pass
+    count is driven by the MAX chain (~3 passes at load 1.0) even though
+    almost every row resolves in pass one.  So: one unrolled first-window
+    pass over all rows, then COMPACT the few still-active rows (longer
+    chains, no match yet) into an n/8 buffer and loop only on that.  If the
+    tail overflows (adversarial duplication), a lax.cond falls back to the
+    full lockstep loop — counts stay exact in every case.
+    """
+    n = keys.shape[0]
+    nbkt = table.num_buckets
+    keys = _as_i32_keys(keys)
+    if bucket is None:
+        bucket = _bucket_of(keys, table.seed, nbkt - 1)
+    start = table.offsets[bucket]
+    end = table.offsets[bucket + 1]
+    cap = table.entry_keys.shape[0] - 1
+
+    # pass 1: first window, all rows
+    idx = start[:, None] + jnp.arange(PROBE_WINDOW, dtype=jnp.int32)[None, :]
+    in_chain = idx < end[:, None]
+    wkeys = table.entry_keys[jnp.minimum(idx, cap)]
+    found1 = jnp.any(in_chain & (wkeys == keys[:, None]), axis=1)
+    count1 = jnp.sum(found1.astype(jnp.int32))
+    pos2 = start + PROBE_WINDOW
+    active = (~found1) & (pos2 < end)
+    n_active = jnp.sum(active.astype(jnp.int32))
+
+    tail_cap = max(128, n // 8)
+    dst = jnp.where(
+        active, jnp.cumsum(active.astype(jnp.int32)) - 1, tail_cap
     )
-    return jnp.sum(found.astype(jnp.int32))
+    t_keys = jnp.zeros((tail_cap,), jnp.int32).at[dst].set(keys, mode="drop")
+    t_pos = jnp.zeros((tail_cap,), jnp.int32).at[dst].set(pos2, mode="drop")
+    t_end = jnp.zeros((tail_cap,), jnp.int32).at[dst].set(end, mode="drop")
+
+    def tail_count(_):
+        def window_pass(state):
+            pos, act, cnt = state
+            tidx = pos[:, None] + jnp.arange(
+                PROBE_WINDOW, dtype=jnp.int32
+            )[None, :]
+            t_in = tidx < t_end[:, None]
+            tk = table.entry_keys[jnp.minimum(tidx, cap)]
+            m = jnp.any(t_in & (tk == t_keys[:, None]) & act[:, None], axis=1)
+            cnt = cnt + jnp.sum(m.astype(jnp.int32))
+            pos = pos + PROBE_WINDOW
+            act = act & ~m & (pos < t_end)
+            return pos, act, cnt
+
+        valid = jnp.arange(tail_cap, dtype=jnp.int32) < n_active
+        _, _, cnt = jax.lax.while_loop(
+            lambda s: jnp.any(s[1]),
+            window_pass,
+            (t_pos, valid & (t_pos < t_end), jnp.asarray(0, jnp.int32)),
+        )
+        return count1 + cnt
+
+    def full_fallback(_):
+        found, _ = _probe_chained_block(
+            table, keys, bucket=bucket, need_rows=False
+        )
+        return jnp.sum(found.astype(jnp.int32))
+
+    return jax.lax.cond(
+        n_active <= tail_cap, tail_count, full_fallback, operand=None
+    )
 
 
 def probe_chained_count(

@@ -163,3 +163,47 @@ class TestChainedTable:
         got = np.asarray(ht.probe_chained_count_all(table, jnp.asarray(probe)))
         expected = np.array([(build == k).sum() for k in probe], np.int32)
         np.testing.assert_array_equal(got, expected)
+
+    def test_tail_compaction_paths(self):
+        # rows resolving in the first window, rows needing the tail loop,
+        # and the adversarial overflow fallback must all count exactly
+        rng = np.random.default_rng(9)
+        # long chains: tiny bucket count via build_chained_from_buckets
+        keys = rng.integers(0, 50, 3000).astype(np.int32)
+        bucket = jnp.asarray(keys % 4)  # 4 buckets -> ~750-long chains
+        table = ht.build_chained_from_buckets(
+            bucket, jnp.asarray(keys), jnp.uint32(3), 4
+        )
+        probe = rng.integers(-10, 60, 2000).astype(np.int32)
+        got = int(
+            ht._probe_chained_count_chunk(
+                table, jnp.asarray(probe), jnp.asarray(probe % 4)
+            )
+        )
+        # oracle: probe key matches iff present among build keys with the
+        # same bucket (bucket = key % 4 is consistent for matching keys)
+        expected = int(np.isin(probe, keys).sum())
+        assert got == expected
+
+    def test_tail_overflow_fallback_exact(self):
+        # every probe misses in window 1 and stays active -> tail overflow
+        build = np.full(4096, 77, np.int32)  # one 4096-chain
+        table = self._build(build)
+        probe = np.full(4096, 78, np.int32)  # same bucket? not guaranteed;
+        # force same bucket via explicit bucket ids
+        bucket = jnp.zeros((4096,), jnp.int32)
+        table2 = ht.build_chained_from_buckets(
+            bucket, jnp.asarray(build), jnp.uint32(1), 2
+        )
+        got_missing = int(
+            ht._probe_chained_count_chunk(
+                table2, jnp.asarray(probe), jnp.zeros((4096,), jnp.int32)
+            )
+        )
+        assert got_missing == 0
+        got_hit = int(
+            ht._probe_chained_count_chunk(
+                table2, jnp.asarray(build), jnp.zeros((4096,), jnp.int32)
+            )
+        )
+        assert got_hit == 4096
