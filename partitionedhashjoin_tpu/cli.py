@@ -81,6 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline-chunks", type=int, default=1,
                    help="shuffle join: split the probe exchange into K "
                    "chunks overlapped with per-chunk local joins")
+    p.add_argument("--key-dtype", default="int32", choices=("int32", "int64"),
+                   help="tuple id width; int64 matches the reference's "
+                   "Tuple::id (requires the sort-merge join)")
     return p
 
 
@@ -100,6 +103,12 @@ def parse_arguments(argv: Optional[Sequence[str]] = None) -> "tuple[Configuratio
     if args.partitions is not None:
         config.radix_clustering_config.number_of_partitions = args.partitions
     config.seed = args.seed
+    config.key_dtype = args.key_dtype
+    if args.key_dtype == "int64" and args.join != "sort-merge":
+        raise SystemExit(
+            "int64 keys are supported by the sort-merge join only "
+            "(hash-table kernels are 32-bit)."
+        )
     # cross-field check (src/Arguments.hpp:7-18): --partitions is only legal
     # with the radix join.  Extended join names (sort-merge/shuffle) leave
     # config.join_type at the non-radix default, so the shared validator
@@ -115,11 +124,18 @@ def parse_arguments(argv: Optional[Sequence[str]] = None) -> "tuple[Configuratio
 
 def generate_tables(config: Configuration, log):
     """Generate both relations on device (main.cpp:35-79)."""
+    import jax
+    import jax.numpy as jnp
+
     from partitionedhashjoin_tpu.ops.generators import (
         sequential_table,
         zipf_table,
     )
     from partitionedhashjoin_tpu.utils.device import sync
+
+    if config.key_dtype == "int64":
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.int64 if config.key_dtype == "int64" else jnp.int32
 
     log.info(
         "Generating primary (%d) and secondary (%d, skew %.2f) relations",
@@ -127,7 +143,7 @@ def generate_tables(config: Configuration, log):
         config.secondary_relation_size,
         config.skew_parameter,
     )
-    table_a = sequential_table(config.primary_relation_size)
+    table_a = sequential_table(config.primary_relation_size, dtype=dtype)
     # alias method: far cheaper device program than the rejection
     # while_loop (matters on backends with slow remote compiles)
     method = (
@@ -139,6 +155,7 @@ def generate_tables(config: Configuration, log):
         key_range=(1, config.primary_relation_size),
         seed=config.seed,
         method=method,
+        dtype=dtype,
     )
     sync((table_a.keys, table_b.keys))
     return table_a, table_b

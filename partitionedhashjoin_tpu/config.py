@@ -131,12 +131,14 @@ class NoPartitioningConfiguration:
     """No-partitioning join knobs (src/NoPartitioning/Configuration.hpp:5-8).
 
     The reference's MinBatchSize (=10000) sizes per-thread work batches; the
-    TPU analogue is the probe-block row count for the merge kernel (rows per
-    Pallas grid step).
+    TPU analogue is the probe chunk size — rows per dispatched probe program
+    (ops/hash_table.py::dispatch_chunks).
     """
 
     min_batch_size: int = 10_000
-    probe_block_rows: int = 16_384
+    #: probe rows per dispatched chunk (the TPU analogue of MinBatchSize's
+    #: per-thread batching: bounds single-program runtime and temp memory)
+    probe_chunk_rows: int = 25_000_000
 
 
 @dataclasses.dataclass

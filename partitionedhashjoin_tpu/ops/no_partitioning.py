@@ -107,7 +107,9 @@ class NoPartitioningHashJoiner:
 
         timer.set_probe_phase_begin()
         count = ht.probe_chained_count(
-            hash_tbl, table_b.keys, num_chunks=ht.dispatch_chunks(table_b.size)
+            hash_tbl, table_b.keys, num_chunks=ht.dispatch_chunks(
+                table_b.size, target=self._config.probe_chunk_rows
+            )
         )
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()

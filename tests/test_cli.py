@@ -82,3 +82,23 @@ def test_default_configuration_matches_reference():
     assert config.skew_parameter == 1.05
     assert args.join == "no-partitioning"
     assert config.output_format_config.time_unit == "ms"
+
+
+def test_int64_key_dtype_sort_merge(tmp_path):
+    import jax
+
+    try:
+        doc = _run(
+            tmp_path,
+            ["--primary", "4096", "--secondary", "16384", "--seed", "6",
+             "--join", "sort-merge", "--key-dtype", "int64", "--log", "error"],
+        )
+        assert doc["parameters"]["Type"] == "SortMerge"
+    finally:
+        # the CLI enables x64 process-wide; undo so other tests keep int32
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_int64_rejected_for_hash_joins():
+    with pytest.raises(SystemExit):
+        parse_arguments(["--join", "no-partitioning", "--key-dtype", "int64"])
