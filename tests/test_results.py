@@ -144,3 +144,61 @@ class TestProfiling:
 
         with trace(str(tmp_path)):
             jnp.arange(10).sum().block_until_ready()
+
+
+class TestTimeSegmentMeasurer:
+    """Accumulating segment measurer (Results.hpp:98-123 semantics)."""
+
+    def test_accumulates_discontinuous_segments(self):
+        import time as _t
+
+        from partitionedhashjoin_tpu.utils.results import TimeSegmentMeasurer
+
+        m = TimeSegmentMeasurer()
+        m.start(); _t.sleep(0.01); m.stop()
+        first = m.get_duration()
+        assert first > 0
+        m.start(); _t.sleep(0.01); m.stop()
+        assert m.get_duration() > first  # accumulates, does not reset
+
+    def test_misuse_raises(self):
+        import pytest
+
+        from partitionedhashjoin_tpu.utils.results import TimeSegmentMeasurer
+
+        m = TimeSegmentMeasurer()
+        with pytest.raises(RuntimeError):
+            m.stop()  # not running
+        m.start()
+        with pytest.raises(RuntimeError):
+            m.start()  # already running
+
+
+class TestTimerGuards:
+    """Unlike the reference (which constructs guard exceptions but never
+    throws them, SURVEY.md appendix 2), misuse must actually raise."""
+
+    def test_begin_twice_raises(self):
+        import pytest
+
+        from partitionedhashjoin_tpu.utils.results import (
+            HashJoinTimer,
+            Parameters,
+        )
+
+        t = HashJoinTimer(Parameters())
+        t.set_build_phase_begin()
+        with pytest.raises(RuntimeError):
+            t.set_build_phase_begin()
+
+    def test_end_without_begin_raises(self):
+        import pytest
+
+        from partitionedhashjoin_tpu.utils.results import (
+            HashJoinTimer,
+            Parameters,
+        )
+
+        t = HashJoinTimer(Parameters())
+        with pytest.raises(RuntimeError):
+            t.set_probe_phase_end()
