@@ -124,6 +124,16 @@ def main() -> None:
             f"{n_b / total_s / 1e6:.0f}M rows/s"
         )
         rows_per_s = n_b / total_s
+        if algo == "sort-merge":
+            from partitionedhashjoin_tpu.utils.profiling import (
+                roofline,
+                sort_merge_bytes,
+            )
+
+            log(
+                "  roofline: "
+                + str(roofline(total_s, sort_merge_bytes(n_a, n_b)))
+            )
         if best is None or rows_per_s > best[1]:
             best = (algo, rows_per_s)
 

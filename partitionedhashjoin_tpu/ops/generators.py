@@ -118,7 +118,7 @@ def zipf_keys(
     are executed in lockstep until all slots accept.  The proposal is tight,
     so the expected round count is small (~4-6); ``max_rounds`` bounds the
     loop for the compiler, and any (probability ~0) never-accepted slot
-    falls back to its last candidate clamped into range.
+    emits key 1 (the initialization value).
     """
 
     def round_body(state):
@@ -217,14 +217,24 @@ def zipf_table(
 
         seed = int(_np.random.SeedSequence().entropy & 0x7FFFFFFF)
     rng = jax.random.PRNGKey(seed)
-    if method == "alias" and cardinality <= (1 << 24):
+    if method == "alias":
+        if cardinality > (1 << 24):
+            raise ValueError(
+                "alias sampling requires cardinality <= 2^24 "
+                "(float32 bin selection); use method='rejection'"
+            )
         from partitionedhashjoin_tpu.data.host_loader import build_zipf_alias
 
-        prob, alias = build_zipf_alias(float(alpha), int(cardinality))
+        # same clamped alpha as the rejection path (Zipf.cpp:22-26), so both
+        # methods target the same distribution for any skew
+        alpha_c, _, _ = _zipf_params(float(alpha), int(cardinality))
+        prob, alias = build_zipf_alias(alpha_c, int(cardinality))
         ids = zipf_keys_alias(
             rng, n, jax.device_put(prob), jax.device_put(alias)
         )
-    else:
+    elif method == "rejection":
         ids = zipf_keys(rng, n, float(alpha), int(cardinality))
+    else:
+        raise ValueError(f"unknown Zipf sampling method: {method!r}")
     ids = (ids + jnp.asarray(correction, jnp.int32)).astype(dtype)
     return make_table(ids, jnp.arange(n, dtype=dtype))

@@ -101,6 +101,10 @@ def merge_count_sorted(
     order, so they can never create a spurious match.
     """
     n = keys_sorted.shape[0]
+    if n == 0:
+        # a zero-sized grid fails Mosaic layout verification (and would
+        # leave the SMEM output unwritten elsewhere)
+        return jnp.asarray(0, jnp.int32)
     padded = (n + BLOCK - 1) // BLOCK * BLOCK
     keys = jnp.full((padded,), jnp.iinfo(jnp.int32).max, jnp.int32)
     keys = jax.lax.dynamic_update_slice(keys, keys_sorted.astype(jnp.int32), (0,))

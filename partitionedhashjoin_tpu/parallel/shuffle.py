@@ -385,17 +385,24 @@ def _pipelined_probe(
 
         def body(carry, k):
             rk, rv = carry
-            nk = jnp.minimum(k + 1, k_chunks - 1)
-            # prefetch the next chunk — independent of this chunk's count
-            next_rk = a2a(jnp.take(bkb3, nk, axis=2))
-            next_rv = a2a(jnp.take(bvb3, nk, axis=2))
+            # prefetch chunk k+1 — independent of this chunk's count.  NOTE:
+            # each chunk's local count re-sorts the received build side (the
+            # sort-merge has no pre-sorted-merge primitive yet), an overhead
+            # of (K-1) extra build-side sorts; with the build side ~1/20 of
+            # the probe side this costs ~K*5% extra sort work.
+            next_rk = a2a(jnp.take(bkb3, k + 1, axis=2))
+            next_rv = a2a(jnp.take(bvb3, k + 1, axis=2))
             cnt = sort_merge_count(rka, rk.reshape(-1), rva, rv.reshape(-1))
             return (next_rk, next_rv), cnt
 
-        _, counts = jax.lax.scan(
-            body, first, jnp.arange(k_chunks, dtype=jnp.int32)
+        (last_rk, last_rv), counts = jax.lax.scan(
+            body, first, jnp.arange(k_chunks - 1, dtype=jnp.int32)
         )
-        count = jnp.sum(counts)
+        # final chunk: already received by the last prefetch — count it
+        # without issuing another exchange
+        count = jnp.sum(counts) + sort_merge_count(
+            rka, last_rk.reshape(-1), rva, last_rv.reshape(-1)
+        )
         if use_hot:
             found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
             count = count + jnp.sum(found_hot.astype(jnp.int32))
@@ -501,10 +508,13 @@ def plan_hot_keys(
     )
     gid_valid = jnp.arange(m, dtype=jnp.int32) < g.num_groups
     counts = jnp.where(gid_valid, g.count, -1)
-    top_counts, top_idx = jax.lax.top_k(counts, capacity)
-    hot_keys = g.keys[top_idx]
+    k = min(capacity, m)  # top_k requires k <= array length
+    top_counts, top_idx = jax.lax.top_k(counts, k)
     min_count = max(1, int(min_frac * m))
-    hot_valid = top_counts >= min_count
+    hot_keys = jnp.zeros((capacity,), jnp.int32).at[:k].set(g.keys[top_idx])
+    hot_valid = (
+        jnp.zeros((capacity,), jnp.bool_).at[:k].set(top_counts >= min_count)
+    )
     return hot_keys, hot_valid
 
 
@@ -592,6 +602,7 @@ class DistributedShuffleJoiner:
         slack = self._slack
         hot_cap = self._hot_capacity
         pipelined = self._pipeline_chunks > 1
+        partition_seconds = 0.0  # accumulates across overflow retries
         for attempt in range(self._max_retries):
             cap_a = self._capacity(table_a.size // s, slack)
             cap_b = self._capacity(table_b.size // s, slack)
@@ -599,7 +610,9 @@ class DistributedShuffleJoiner:
                 k = self._pipeline_chunks
                 cap_b = (cap_b + k - 1) // k * k
 
-            timer.set_partitioning_phase_begin()
+            import time as _time
+
+            attempt_t0 = _time.perf_counter()
             (
                 rk_a, rp_a, rv_a, rk_b, rp_b, rv_b,
                 is_hot_b, hk, hp, hv, stats,
@@ -622,7 +635,11 @@ class DistributedShuffleJoiner:
             dropped = jax.device_get(
                 (stats.dropped_a, stats.dropped_b, stats.dropped_hot)
             )
-            timer.set_partitioning_phase_end()
+            # accumulate across retries: overwriting would silently hide the
+            # device work spent on failed attempts (discontinuous-segment
+            # accounting, the reference's TimeSegmentMeasurer use case)
+            partition_seconds += _time.perf_counter() - attempt_t0
+            timer.set_partitioning_phase_duration(partition_seconds)
             if any(int(d) > 0 for d in dropped):
                 self._logger.info(
                     "bucket overflow (a=%d b=%d hot=%d) at slack %.1f; retrying",

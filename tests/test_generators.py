@@ -173,3 +173,25 @@ class TestAliasSampler:
         alias = jnp.zeros((1 << 25,), jnp.int32)
         with pytest.raises(ValueError):
             zipf_keys_alias(jax.random.PRNGKey(0), 10, prob, alias)
+
+
+def test_alias_matches_rejection_at_clamped_alpha():
+    # alpha inside the clamp window: both methods must target the clamped
+    # distribution (Zipf.cpp:22-26), not diverge by method
+    from partitionedhashjoin_tpu.ops.generators import zipf_table
+
+    n, card = 120_000, 200
+    ka = np.asarray(zipf_table(n, 1.0, (1, card), seed=3, method="alias").keys)
+    kr = np.asarray(zipf_table(n, 1.0, (1, card), seed=4, method="rejection").keys)
+    fa = np.bincount(ka, minlength=card + 1)[1:] / n
+    fr = np.bincount(kr, minlength=card + 1)[1:] / n
+    assert 0.5 * np.abs(fa - fr).sum() < 0.02
+
+
+def test_zipf_table_method_validation():
+    from partitionedhashjoin_tpu.ops.generators import zipf_table
+
+    with pytest.raises(ValueError):
+        zipf_table(10, 1.05, (1, 100), seed=1, method="bogus")
+    with pytest.raises(ValueError):
+        zipf_table(10, 1.05, (1, (1 << 25)), seed=1, method="alias")

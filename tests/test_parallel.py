@@ -188,3 +188,14 @@ def test_hot_capacity_overflow_grows_hot_cap(mesh8):
     joiner = DistributedShuffleJoiner(mesh8, seed=3, hot_capacity=16)
     count = joiner.run(a, b)
     assert count == int(np.isin(b_keys, a_keys).sum())
+
+
+def test_tiny_relations_hot_planning(mesh8):
+    # fewer sampled keys than hot_capacity must not crash top_k
+    rng = np.random.default_rng(77)
+    a_keys = rng.integers(0, 100, 32).astype(np.int32)
+    b_keys = rng.integers(0, 100, 32).astype(np.int32)
+    a = shard_table(make_table(a_keys, np.arange(32, dtype=np.int32)), mesh8)
+    b = shard_table(make_table(b_keys, np.arange(32, dtype=np.int32)), mesh8)
+    count = DistributedShuffleJoiner(mesh8, seed=1, hot_capacity=64).run(a, b)
+    assert count == int(np.isin(b_keys, a_keys).sum())

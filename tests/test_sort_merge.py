@@ -150,3 +150,11 @@ def test_materialized_join_duplicate_build_keys_deterministic():
     out = SortMergeJoiner().run_materialize(a, b)
     assert int(out.count) == 2
     assert np.asarray(out.payloads_a)[:2].tolist() == [20, 30]
+
+
+def test_empty_inputs():
+    empty = make_table(np.zeros(0, np.int32), np.zeros(0, np.int32))
+    some = make_table(np.arange(8, dtype=np.int32), np.arange(8, dtype=np.int32))
+    assert SortMergeJoiner().run(empty, empty) == 0
+    assert SortMergeJoiner().run(empty, some) == 0
+    assert SortMergeJoiner().run(some, empty) == 0
