@@ -84,6 +84,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--key-dtype", default="int32", choices=("int32", "int64"),
                    help="tuple id width; int64 matches the reference's "
                    "Tuple::id (requires the sort-merge join)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the untimed warmup run (timed phases then "
+                   "include one-time XLA compilation)")
     return p
 
 
@@ -174,7 +177,10 @@ def _base_parameters(config: Configuration) -> Parameters:
     return params
 
 
-def run_join(join_name: str, config: Configuration, args, table_a, table_b, log):
+def run_join(
+    join_name: str, config: Configuration, args, table_a, table_b, log,
+    warmup: bool = True,
+):
     """Dispatch to the selected joiner (main.cpp:260-282)."""
     params = _base_parameters(config)
     timer = HashJoinTimer(params)
@@ -222,6 +228,10 @@ def run_join(join_name: str, config: Configuration, args, table_a, table_b, log)
         table_b = shard_table(table_b, mesh)
     else:  # pragma: no cover
         raise ValueError(join_name)
+    if warmup:
+        # compile/warm untimed so phase durations measure device work, not
+        # one-time XLA compilation (the C++ reference has no JIT to exclude)
+        joiner.run(table_a, table_b)
     count = joiner.run(table_a, table_b, timer)
     log.info("Join produced %d matches", count)
     return timer.get_result()
@@ -236,7 +246,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     renderer = select_results_renderer(config.output_config)
 
     table_a, table_b = generate_tables(config, log)
-    result = run_join(args.join, config, args, table_a, table_b, log)
+    result = run_join(
+        args.join, config, args, table_a, table_b, log,
+        warmup=not args.no_warmup,
+    )
     renderer.render(formatter, result)
     return 0
 
