@@ -39,7 +39,10 @@ def run_cli(outfile: str, argv: list[str]) -> dict:
         "--filename",
         outfile,
     ] + argv
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND the repo to PYTHONPATH — replacing it would drop environment
+    # site hooks (e.g. the TPU plugin registration) from the child process
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     subprocess.run(cmd, check=True, cwd=REPO, env=env)
     with open(outfile) as f:
         return json.load(f)
