@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the untimed warmup run (timed phases then "
                    "include one-time XLA compilation)")
+    p.add_argument("--reference-spelling", action="store_true",
+                   help="emit the reference's literal Type tags, including "
+                   "its 'RadixParitioning' typo (main.cpp:127), for tooling "
+                   "that string-matches reference output byte-for-byte")
     return p
 
 
@@ -196,7 +200,14 @@ def run_join(
     elif join_name == "radix-partitioning":
         from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
 
-        params.set_parameter("Type", "RadixPartitioning")
+        params.set_parameter(
+            "Type",
+            # the reference's enum literal is typo'd (main.cpp:127); tooling
+            # that diffs against its output can opt into byte parity
+            "RadixParitioning"
+            if getattr(args, "reference_spelling", False)
+            else "RadixPartitioning",
+        )
         params.set_parameter(
             "NumberOfPartitions",
             str(config.radix_clustering_config.number_of_partitions),

@@ -40,9 +40,9 @@ class GroupByResult:
 
     keys: jax.Array  # int32[n] group keys
     count: jax.Array  # int32[n] COUNT(*)
-    sum: jax.Array  # int64-or-int32[n] SUM(payload)
-    min: jax.Array  # int32[n] MIN(payload)
-    max: jax.Array  # int32[n] MAX(payload)
+    sum: jax.Array  # payload-dtype[n] SUM(payload)
+    min: jax.Array  # payload-dtype[n] MIN(payload)
+    max: jax.Array  # payload-dtype[n] MAX(payload)
     num_groups: jax.Array  # int32 scalar
     group_of_row: jax.Array  # int32[n] dense group id per input row
 
@@ -75,11 +75,18 @@ def _group_and_aggregate(
     ones = jnp.ones((n,), jnp.int32)
     count = jnp.zeros((n,), jnp.int32).at[gid].add(ones, mode="drop")
     sum_ = jnp.zeros((n,), payloads.dtype).at[gid].add(payloads, mode="drop")
-    min_ = jnp.full((n,), _I32_MAX, jnp.int32).at[gid].min(
-        payloads.astype(jnp.int32), mode="drop"
+    # MIN/MAX keep the payload dtype like SUM does (an int32 cast would
+    # silently truncate int64 payloads in min/max only — round-1 ADVICE)
+    pinfo = (
+        jnp.iinfo(payloads.dtype)
+        if jnp.issubdtype(payloads.dtype, jnp.integer)
+        else jnp.finfo(payloads.dtype)
     )
-    max_ = jnp.full((n,), _I32_MIN, jnp.int32).at[gid].max(
-        payloads.astype(jnp.int32), mode="drop"
+    min_ = jnp.full((n,), pinfo.max, payloads.dtype).at[gid].min(
+        payloads, mode="drop"
+    )
+    max_ = jnp.full((n,), pinfo.min, payloads.dtype).at[gid].max(
+        payloads, mode="drop"
     )
     group_keys = jnp.zeros((n,), keys.dtype).at[gid].set(keys, mode="drop")
     return GroupByResult(

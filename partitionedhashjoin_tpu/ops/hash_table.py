@@ -64,17 +64,18 @@ def _as_i32_keys(keys):
 
 
 def dispatch_chunks(n: int, target: int = 25_000_000) -> int:
-    """Largest divisor of n keeping probe chunks near ``target`` rows.
+    """Number of chunks keeping each probe chunk <= ~``target`` rows.
 
     Chunking happens at the DISPATCH level (separate jit calls): one fused
     program gathering 200M chains for tens of seconds trips the device
-    watchdog, and per-chunk temporaries stay bounded.
+    watchdog, and per-chunk temporaries stay bounded.  Divisibility is NOT
+    required: chunked probes slice ``ceil(n / chunks)``-row windows and the
+    last window overlaps the previous one, masking the overlap via a traced
+    ``skip`` scalar — so a prime-sized relation still chunks (round-1 ADVICE:
+    the old largest-divisor rule collapsed prime-ish n to a single >20 s
+    dispatch, exactly the watchdog crash this function exists to prevent).
     """
-    want = max(1, n // target)
-    for k in range(want, 0, -1):
-        if n % k == 0:
-            return k
-    return 1
+    return max(1, -(-n // target))
 
 
 def table_size_for(n: int, ratio: float = DEFAULT_SIZE_RATIO) -> int:
@@ -99,13 +100,20 @@ class HashTable:
     holds the build-relation row index (the reference stores tuple pointers,
     LinearProbing.hpp:113-134 — a row index is the SoA equivalent).
     ``max_probe`` is the largest insertion probe distance, bounding every
-    probe loop.
+    probe loop.  ``overflowed`` is True iff the build loop hit its iteration
+    bound with rows still pending — only possible when ``has_valid=True``
+    hides a valid-row count larger than ``size`` (the unmasked path raises
+    host-side); probing an overflowed table undercounts, so callers sizing
+    tables from dynamic valid counts must check it.
     """
 
     slot_keys: jax.Array  # int32[size]
     slot_rows: jax.Array  # int32[size], -1 == empty
     max_probe: jax.Array  # int32 scalar
     seed: jax.Array  # uint32 scalar hash seed
+    overflowed: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.asarray(False)
+    )
 
     @property
     def size(self) -> int:
@@ -153,7 +161,7 @@ def build_hash_table(
     )
 
     def body(state):
-        slot_keys, slot_rows, dist, pending, max_probe = state
+        slot_keys, slot_rows, dist, pending, max_probe, it = state
         slot = (home + dist) & mask
         occupied = slot_rows[slot] >= 0
         # Rows staring at a full slot move one step down their chain
@@ -177,10 +185,16 @@ def build_hash_table(
         max_probe = jnp.maximum(
             max_probe, jnp.max(jnp.where(won, dist, 0), initial=0)
         )
-        return slot_keys, slot_rows, dist, pending, max_probe
+        return slot_keys, slot_rows, dist, pending, max_probe, it + 1
 
     def cond(state):
-        return jnp.any(state[3])
+        # Each iteration either inserts >= 1 row (<= n wins total) or every
+        # pending row advances one chain step (dist <= size once the table is
+        # full of OTHER keys); n + size + 2 therefore bounds any feasible
+        # build, and hitting it means the valid-row count exceeds the slot
+        # count — a silent device hang before this bound existed (round-1
+        # ADVICE) — now surfaced as ``overflowed``.
+        return jnp.any(state[3]) & (state[5] < n + size + 2)
 
     init = (
         jnp.zeros((size,), jnp.int32),
@@ -188,10 +202,17 @@ def build_hash_table(
         jnp.zeros((n,), jnp.int32),
         initial_pending,
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    slot_keys, slot_rows, _, _, max_probe = jax.lax.while_loop(cond, body, init)
+    slot_keys, slot_rows, _, pending, max_probe, _ = jax.lax.while_loop(
+        cond, body, init
+    )
     return HashTable(
-        slot_keys=slot_keys, slot_rows=slot_rows, max_probe=max_probe, seed=seed
+        slot_keys=slot_keys,
+        slot_rows=slot_rows,
+        max_probe=max_probe,
+        seed=seed,
+        overflowed=jnp.any(pending),
     )
 
 
@@ -409,9 +430,16 @@ def _probe_chained_block(
 
 @jax.jit
 def _probe_chained_count_chunk(
-    table: ChainedHashTable, keys: jax.Array, bucket=None
+    table: ChainedHashTable, keys: jax.Array, bucket=None, skip=None
 ) -> jax.Array:
     """Count-only probe, tail-compacted.
+
+    ``skip`` (traced int32 scalar) excludes rows with index < skip from the
+    count — the overlapping-window chunking trick: the LAST chunk of a
+    non-divisible probe is the final ``m`` rows, and ``skip`` masks the rows
+    the previous chunk already counted.  One compiled program serves every
+    chunk (a static remainder shape would cost a second 30-200 s remote
+    compile on the relay).
 
     The lockstep window loop costs FULL-array gathers per pass, and pass
     count is driven by the MAX chain (~3 passes at load 1.0) even though
@@ -429,15 +457,20 @@ def _probe_chained_count_chunk(
     start = table.offsets[bucket]
     end = table.offsets[bucket + 1]
     cap = table.entry_keys.shape[0] - 1
+    counted = (
+        jnp.ones((n,), jnp.bool_)
+        if skip is None
+        else jnp.arange(n, dtype=jnp.int32) >= skip
+    )
 
     # pass 1: first window, all rows
     idx = start[:, None] + jnp.arange(PROBE_WINDOW, dtype=jnp.int32)[None, :]
     in_chain = idx < end[:, None]
     wkeys = table.entry_keys[jnp.minimum(idx, cap)]
-    found1 = jnp.any(in_chain & (wkeys == keys[:, None]), axis=1)
+    found1 = jnp.any(in_chain & (wkeys == keys[:, None]), axis=1) & counted
     count1 = jnp.sum(found1.astype(jnp.int32))
     pos2 = start + PROBE_WINDOW
-    active = (~found1) & (pos2 < end)
+    active = (~found1) & counted & (pos2 < end)
     n_active = jnp.sum(active.astype(jnp.int32))
 
     tail_cap = max(128, n // 8)
@@ -474,7 +507,7 @@ def _probe_chained_count_chunk(
         found, _ = _probe_chained_block(
             table, keys, bucket=bucket, need_rows=False
         )
-        return jnp.sum(found.astype(jnp.int32))
+        return jnp.sum((found & counted).astype(jnp.int32))
 
     return jax.lax.cond(
         n_active <= tail_cap, tail_count, full_fallback, operand=None
@@ -487,16 +520,27 @@ def probe_chained_count(
     """Get-semantics match count; ``num_chunks`` splits the probe into
     separate dispatches, bounding both the (n, WINDOW) gather temporaries
     and single-program runtime (one fused program gathering 200M chains for
-    tens of seconds trips the device watchdog)."""
+    tens of seconds trips the device watchdog).
+
+    Non-divisible ``n`` is handled with overlapping windows: every chunk is
+    ``ceil(n / num_chunks)`` rows; the last one starts at ``n - m`` and a
+    traced ``skip`` masks the rows the previous chunk already counted, so
+    every chunk shares one compiled program.
+    """
     n = keys.shape[0]
     keys = _as_i32_keys(keys)
-    if num_chunks <= 1 or n % num_chunks:
+    num_chunks = min(num_chunks, max(1, n))
+    if num_chunks <= 1:
         return _probe_chained_count_chunk(table, keys)
-    m = n // num_chunks
+    m = -(-n // num_chunks)
     total = None
     for c in range(num_chunks):
+        start = min(c * m, n - m)
+        skip = c * m - start  # rows [0, skip) were counted by chunk c-1
         cnt = _probe_chained_count_chunk(
-            table, jax.lax.dynamic_slice(keys, (c * m,), (m,))
+            table,
+            jax.lax.dynamic_slice(keys, (start,), (m,)),
+            skip=jnp.asarray(skip, jnp.int32),
         )
         total = cnt if total is None else total + cnt
     return total
@@ -575,7 +619,7 @@ def build_dedup_hash_table(
     row_ids = jnp.arange(n, dtype=jnp.int32)
 
     def body(state):
-        slot_keys, slot_rows, dist, pending, rep_row, max_probe = state
+        slot_keys, slot_rows, dist, pending, rep_row, max_probe, it = state
         slot = (home + dist) & mask
         occ_rows = slot_rows[slot]
         occ_keys = slot_keys[slot]
@@ -603,7 +647,7 @@ def build_dedup_hash_table(
         max_probe = jnp.maximum(
             max_probe, jnp.max(jnp.where(won, dist, 0), initial=0)
         )
-        return slot_keys, slot_rows, dist, pending, rep_row, max_probe
+        return slot_keys, slot_rows, dist, pending, rep_row, max_probe, it + 1
 
     init = (
         jnp.zeros((size,), jnp.int32),
@@ -612,12 +656,19 @@ def build_dedup_hash_table(
         jnp.asarray(valid, jnp.bool_) if has_valid else jnp.ones((n,), jnp.bool_),
         jnp.full((n,), -1, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    slot_keys, slot_rows, _, _, rep_row, max_probe = jax.lax.while_loop(
-        lambda s: jnp.any(s[3]), body, init
+    # same iteration bound as build_hash_table: the dedup rule only removes
+    # pending rows faster (duplicates resolve without inserting)
+    slot_keys, slot_rows, _, pending, rep_row, max_probe, _ = jax.lax.while_loop(
+        lambda s: jnp.any(s[3]) & (s[6] < n + size + 2), body, init
     )
     table = HashTable(
-        slot_keys=slot_keys, slot_rows=slot_rows, max_probe=max_probe, seed=seed
+        slot_keys=slot_keys,
+        slot_rows=slot_rows,
+        max_probe=max_probe,
+        seed=seed,
+        overflowed=jnp.any(pending),
     )
     return table, rep_row
 

@@ -104,11 +104,12 @@ def _probe_chunk(
     boff,
     bcnt,
     num_partitions: int,
+    skip=None,
 ) -> jax.Array:
     bucket = _segment_bucket_ids(
         keys, part_seed, table.seed, boff, bcnt, num_partitions
     )
-    return ht._probe_chained_count_chunk(table, keys, bucket)
+    return ht._probe_chained_count_chunk(table, keys, bucket, skip=skip)
 
 
 def _probe_phase(
@@ -123,22 +124,30 @@ def _probe_phase(
     """Chunked at the DISPATCH level, not with lax.map: each chunk is its own
     XLA program.  One fused program walking 200M rows of probe chains runs
     tens of seconds and trips the device watchdog ("TPU worker crashed");
-    separate dispatches bound both program runtime and temporaries."""
+    separate dispatches bound both program runtime and temporaries.
+
+    Non-divisible ``n`` chunks via overlapping windows + a traced ``skip``
+    mask (see ops/hash_table.py::probe_chained_count) — prime-sized probes
+    no longer collapse to one watchdog-tripping dispatch."""
     n = keys_b_part.shape[0]
-    if num_chunks <= 1 or n % num_chunks:
+    num_chunks = min(num_chunks, max(1, n))
+    if num_chunks <= 1:
         return _probe_chunk(
             table, keys_b_part, part_seed, boff, bcnt, num_partitions
         )
-    m = n // num_chunks
+    m = -(-n // num_chunks)
     total = None
     for c in range(num_chunks):
+        start = min(c * m, n - m)
+        skip = c * m - start
         cnt = _probe_chunk(
             table,
-            jax.lax.dynamic_slice(keys_b_part, (c * m,), (m,)),
+            jax.lax.dynamic_slice(keys_b_part, (start,), (m,)),
             part_seed,
             boff,
             bcnt,
             num_partitions,
+            skip=jnp.asarray(skip, jnp.int32),
         )
         total = cnt if total is None else total + cnt
     return total

@@ -161,11 +161,19 @@ def sort_merge_count_all(
     probe_valid=None,
 ) -> jax.Array:
     """Full inner-join cardinality (duplicates multiply, ``GetAll``
-    semantics): sum over probe rows of their key's build multiplicity."""
+    semantics): sum over probe rows of their key's build multiplicity.
+
+    Returns a ``uint32[2]`` (hi, lo) pair — the cardinality can exceed
+    2^31-1 with duplicated build keys (the reference accumulates into a C++
+    64-bit counter), and the engine runs without x64.  Use
+    ``utils.widesum.pair_to_int`` on host.
+    """
+    from partitionedhashjoin_tpu.utils import widesum
+
     is_probe, valid, mult = _merged_multiplicity(
         build_keys, probe_keys, build_valid, probe_valid
     )
-    return jnp.sum(jnp.where(is_probe & valid, mult, 0))
+    return widesum.exact_sum_u64(jnp.where(is_probe & valid, mult, 0))
 
 
 @jax.jit

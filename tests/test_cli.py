@@ -102,3 +102,25 @@ def test_int64_key_dtype_sort_merge(tmp_path):
 def test_int64_rejected_for_hash_joins():
     with pytest.raises(SystemExit):
         parse_arguments(["--join", "no-partitioning", "--key-dtype", "int64"])
+
+
+def test_reference_spelling_compat_flag(tmp_path):
+    doc = _run(
+        tmp_path,
+        ["--primary", "512", "--secondary", "2048", "--seed", "2",
+         "--join", "radix-partitioning", "--partitions", "4",
+         "--reference-spelling", "--log", "error"],
+    )
+    # byte parity with the reference's typo'd enum literal (main.cpp:127)
+    assert doc["parameters"]["Type"] == "RadixParitioning"
+
+
+def test_prime_sized_relations_end_to_end(tmp_path):
+    # prime sizes exercise the overlapping-window dispatch chunking
+    doc = _run(
+        tmp_path,
+        ["--primary", "1009", "--secondary", "4999", "--seed", "4",
+         "--join", "radix-partitioning", "--partitions", "8",
+         "--log", "error"],
+    )
+    assert int(doc["results"]["probe"]) >= 0

@@ -207,3 +207,55 @@ class TestChainedTable:
             )
         )
         assert got_hit == 4096
+
+
+def test_dispatch_chunks_prime_sizes_still_chunk():
+    # round-1 ADVICE/VERDICT: the old largest-divisor rule returned 1 for
+    # prime n, collapsing a 200M probe into one watchdog-tripping dispatch
+    for n, target in ((199_999_991, 25_000_000), (101, 10), (30, 7)):
+        k = ht.dispatch_chunks(n, target)
+        assert k > 1
+        assert -(-n // k) <= target
+    assert ht.dispatch_chunks(10, 25) == 1
+    assert ht.dispatch_chunks(0, 25) == 1
+
+
+def test_chunked_probe_non_divisible_counts_exact():
+    rng = np.random.default_rng(7)
+    build = rng.integers(0, 5000, 3000).astype(np.int32)
+    table = ht.build_chained(
+        jnp.asarray(build), jnp.uint32(3), ht.chained_num_buckets(3000)
+    )
+    for n in (101, 997, 8191):  # primes: never divisible by the chunk count
+        probe = rng.integers(0, 5000, n).astype(np.int32)
+        want = int(np.isin(probe, build).sum())
+        for chunks in (2, 3, 7):
+            got = int(
+                ht.probe_chained_count(
+                    table, jnp.asarray(probe), num_chunks=chunks
+                )
+            )
+            assert got == want, (n, chunks)
+
+
+def test_build_overflow_surfaces_instead_of_hanging():
+    # 12 valid distinct keys into an 8-slot table (only reachable via
+    # has_valid, which skips the host-side size check): the bounded claim
+    # loop must terminate and flag the overflow (round-1 ADVICE: this was a
+    # silent infinite device loop)
+    keys = jnp.arange(12, dtype=jnp.int32)
+    valid = jnp.ones((12,), jnp.bool_)
+    table = ht.build_hash_table(
+        keys, jnp.uint32(5), 8, valid=valid, has_valid=True
+    )
+    assert bool(table.overflowed)
+    # a correctly sized masked build does not overflow
+    ok = ht.build_hash_table(
+        keys, jnp.uint32(5), 16, valid=valid, has_valid=True
+    )
+    assert not bool(ok.overflowed)
+    # dedup variant too
+    t2, _ = ht.build_dedup_hash_table(
+        keys, jnp.uint32(5), 8, valid=valid, has_valid=True
+    )
+    assert bool(t2.overflowed)

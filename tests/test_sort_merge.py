@@ -15,6 +15,7 @@ from partitionedhashjoin_tpu.ops.sort_merge import (
     sort_merge_count,
     sort_merge_count_all,
 )
+from partitionedhashjoin_tpu.utils.widesum import pair_to_int
 
 
 def test_count_matches_numpy_oracle():
@@ -29,9 +30,18 @@ def test_count_all_matches_inner_join_cardinality():
     rng = np.random.default_rng(1)
     a = rng.integers(0, 50, 1500).astype(np.int32)  # heavy duplicates
     b = rng.integers(0, 60, 4000).astype(np.int32)
-    got = int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b)))
+    got = pair_to_int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b)))
     mult = np.bincount(a, minlength=60)
     assert got == int(mult[b].sum())
+
+
+def test_count_all_cardinality_beyond_int32():
+    # 70k duplicated build keys × 35k probes of the same key ≈ 2.45e9 > 2^31:
+    # the GetAll cardinality must not wrap (ADVICE.md round-1 medium finding)
+    a = np.full(70_000, 7, np.int32)
+    b = np.full(35_000, 7, np.int32)
+    got = pair_to_int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b)))
+    assert got == 70_000 * 35_000
 
 
 def test_full_int32_domain_including_int_min():
@@ -39,7 +49,7 @@ def test_full_int32_domain_including_int_min():
     a = np.array([lo, lo, -1, 0, 7], np.int32)
     b = np.array([lo, 0, 7, 12, lo + 1], np.int32)
     assert int(sort_merge_count(jnp.asarray(a), jnp.asarray(b))) == 3
-    assert int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b))) == 4
+    assert pair_to_int(sort_merge_count_all(jnp.asarray(a), jnp.asarray(b))) == 4
 
 
 def test_validity_masks_exclude_padding():
