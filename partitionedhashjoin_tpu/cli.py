@@ -91,6 +91,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="emit the reference's literal Type tags, including "
                    "its 'RadixParitioning' typo (main.cpp:127), for tooling "
                    "that string-matches reference output byte-for-byte")
+    # multi-host bring-up (parallel/distributed.py): run one process per
+    # host with the same flags plus a distinct --process-id
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port; enables "
+                   "jax.distributed across --num-processes (shuffle join)")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="total process count (with --coordinator)")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="this process's id in [0, num-processes)")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform before backend init (e.g. "
+                   "'cpu' for multi-process CPU tests)")
     return p
 
 
@@ -248,6 +260,54 @@ def run_join(
     return timer.get_result()
 
 
+def run_distributed(config: Configuration, args, log):
+    """Multi-host path: bootstrap, per-host generation, global shuffle join.
+
+    Every participating host runs this same entrypoint with its own
+    ``--process-id``; only process 0 returns a result document (the others
+    return None and render nothing) — the single-writer convention of
+    multi-host JAX programs.
+    """
+    from partitionedhashjoin_tpu.parallel import distributed
+    from partitionedhashjoin_tpu.parallel.shuffle import DistributedShuffleJoiner
+
+    if args.join != "shuffle":
+        raise SystemExit("--coordinator requires --join shuffle")
+    distributed.initialize(
+        args.coordinator,
+        args.num_processes,
+        args.process_id,
+        platform=args.platform,
+    )
+    mesh = distributed.global_mesh(args.shards)
+    seed = config.seed if config.seed is not None else 0
+    table_a, table_b = distributed.generate_global_tables(
+        config.primary_relation_size,
+        config.secondary_relation_size,
+        config.skew_parameter,
+        mesh,
+        seed=seed,
+    )
+    params = _base_parameters(config)
+    params.set_parameter("Type", "DistributedShuffle")
+    params.set_parameter("NumberOfShards", str(mesh.devices.size))
+    params.set_parameter("NumberOfProcesses", str(args.num_processes))
+    timer = HashJoinTimer(params)
+    joiner = DistributedShuffleJoiner(
+        mesh,
+        seed=seed,
+        local_join=args.local_join,
+        pipeline_chunks=args.pipeline_chunks,
+    )
+    if not args.no_warmup:
+        joiner.run(table_a, table_b)
+    count = joiner.run(table_a, table_b, timer)
+    log.info("Join produced %d matches", count)
+    import jax
+
+    return timer.get_result() if jax.process_index() == 0 else None
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     config, args = parse_arguments(argv)
     logging_utils.initialize_logger(config.logger_config.log_level)
@@ -255,6 +315,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     formatter = select_results_formatter(config.output_format_config)
     renderer = select_results_renderer(config.output_config)
+
+    if args.coordinator is not None:
+        result = run_distributed(config, args, log)
+        if result is not None:
+            renderer.render(formatter, result)
+        return 0
 
     table_a, table_b = generate_tables(config, log)
     result = run_join(

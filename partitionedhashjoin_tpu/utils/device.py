@@ -19,7 +19,13 @@ def sync(tree) -> None:
     """Block until every array in ``tree`` has finished computing."""
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ndim"):
-            if leaf.ndim == 0:
+            if getattr(leaf, "is_fully_addressable", True) is False:
+                # multi-host array: a one-element readback is not legal from
+                # a single process; block_until_ready works on the CPU/TPU
+                # pod backends (the enqueue-and-return quirk is specific to
+                # the single-host axon relay)
+                jax.block_until_ready(leaf)
+            elif leaf.ndim == 0:
                 jax.device_get(leaf)
             else:
                 # slice one element; device_get waits on the source buffer
