@@ -155,6 +155,17 @@ class RadixClusteringConfiguration:
     #: engine extension: multi-pass radix cluster (Manegold/Balkesen); the
     #: reference is single-pass.  >1 = LSD digit passes over the pid bits.
     partition_passes: int = 1
+    #: partition/probe implementation:
+    #:   "vmem"    range-radix clustering (sort by key = contiguous key-range
+    #:             partitions, Manegold's radix-cluster on key bits) + the
+    #:             VMEM merge-probe kernel (ops/pallas/merge_probe.py) — no
+    #:             HBM gathers; number_of_partitions is advisory (the kernel
+    #:             ranges every probe block individually)
+    #:   "chained" hash(key)&(P-1) fan-out + per-partition chained tables
+    #:             (the reference's exact structure, HashJoin.hpp:243-440)
+    #:   "auto"    "vmem" when the Mosaic kernel runs on this backend,
+    #:             else "chained"
+    mode: str = "auto"
 
 
 @dataclasses.dataclass

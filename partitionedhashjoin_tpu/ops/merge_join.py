@@ -1,0 +1,124 @@
+"""Two-run merge-count join: sort each relation once, probe in VMEM.
+
+The engine's fastest exact count join on TPU and the implementation behind
+both the flagship joiner's fast path (ops/sort_merge.py) and the radix
+joiner's VMEM mode (ops/radix_cluster.py):
+
+    partition/order:  one UNstable 1-key sort per relation (~2.1 ns/el
+                      measured — vs 3.1 ns/el for the round-1 concatenated
+                      2-key sort, and it sorts 10M fewer rows)
+    probe:            ops/pallas/merge_probe.py — per-block build ranges
+                      DMA'd to VMEM, in-register binary search, zero HBM
+                      gathers
+
+Sorting by key IS range-radix clustering (partition = contiguous key range;
+Manegold et al.'s radix-cluster on key bits — the reference hashes first
+only to randomize arbitrary key sets, src/RadixCluster/HashJoin.hpp:349;
+comparison sorting needs no such randomization, so the TPU form is
+distribution-robust by construction).
+
+Validity masks (bucketized/padded inputs from parallel/shuffle.py) are
+supported exactly: invalid rows are rewritten to INT32_MAX before the sort,
+the kernel's searched ranges are clamped to exclude the INT32_MAX region
+entirely (genuine or not), and genuine INT32_MAX matches are restored by a
+closed-form correction term — sentinel-free over the full int32 domain.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from partitionedhashjoin_tpu.ops.pallas import merge_probe
+
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def supported() -> bool:
+    """True when the Mosaic kernel path runs on the current backend."""
+    from partitionedhashjoin_tpu.ops.pallas import merge_count
+
+    return merge_count.supported()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def two_run_count(
+    build_keys: jax.Array,
+    probe_keys: jax.Array,
+    build_valid=None,
+    probe_valid=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Get-semantics match count (number of valid probe rows whose key
+    appears among valid build keys), int32 keys.
+
+    Equivalent to ops/sort_merge.py::sort_merge_count; this is the kernel
+    path.  int64 keys take the sort-merge fallback (the Mosaic kernel is
+    32-bit; ops/sort_merge.py handles 64-bit under x64).
+    """
+    build_keys = jnp.asarray(build_keys, jnp.int32)
+    probe_keys = jnp.asarray(probe_keys, jnp.int32)
+    if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
+        return jnp.asarray(0, jnp.int32)
+
+    # INT32_MAX bookkeeping (see module doc): the kernel never searches the
+    # INT32_MAX region, so genuine INT32_MAX traffic is counted here
+    if build_valid is not None:
+        build_valid = jnp.asarray(build_valid, jnp.bool_)
+        a_eff = jnp.where(build_valid, build_keys, _I32_MAX)
+        max_in_a = jnp.any(build_valid & (build_keys == _I32_MAX))
+    else:
+        a_eff = build_keys
+        max_in_a = jnp.any(build_keys == _I32_MAX)
+    if probe_valid is not None:
+        probe_valid = jnp.asarray(probe_valid, jnp.bool_)
+        b_eff = jnp.where(probe_valid, probe_keys, _I32_MAX)
+        n_max_probe = jnp.sum(
+            (probe_valid & (probe_keys == _I32_MAX)).astype(jnp.int32)
+        )
+    else:
+        b_eff = probe_keys
+        n_max_probe = jnp.sum((probe_keys == _I32_MAX).astype(jnp.int32))
+
+    a_sorted = jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0]
+    b_sorted = jax.lax.sort((b_eff,), num_keys=1, is_stable=False)[0]
+    count = merge_probe.ranged_merge_count_prepared(
+        a_sorted,
+        b_sorted,
+        exclude_int32_max=True,
+        interpret=interpret,
+    )
+    return count + jnp.where(max_in_a, n_max_probe, 0)
+
+
+def sorted_runs_count(
+    a_sorted: jax.Array,
+    b_sorted: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Count over ALREADY-sorted runs (the pre-sorted merge primitive for
+    pipelined exchanges: sort the received build side once, then count each
+    newly sorted probe chunk against it without re-sorting)."""
+    return merge_probe.ranged_merge_count(a_sorted, b_sorted, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def two_run_count_i64(
+    build_keys: jax.Array,
+    probe_keys: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """int64-key two-run count join (requires x64 mode): one unstable sort
+    per relation + the hi/lo-plane kernel (merge_probe.ranged_merge_count_i64).
+    The reference's Tuple::id is int64 (src/Common/Table.hpp:20-25)."""
+    build_keys = jnp.asarray(build_keys, jnp.int64)
+    probe_keys = jnp.asarray(probe_keys, jnp.int64)
+    if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
+        return jnp.asarray(0, jnp.int32)
+    a_sorted = jax.lax.sort((build_keys,), num_keys=1, is_stable=False)[0]
+    b_sorted = jax.lax.sort((probe_keys,), num_keys=1, is_stable=False)[0]
+    return merge_probe.ranged_merge_count_i64(
+        a_sorted, b_sorted, interpret=interpret
+    )

@@ -1,0 +1,465 @@
+"""Ranged merge-probe kernel: count sorted-probe blocks against sorted-build
+key ranges held in VMEM — the per-partition join phase of the radix join.
+
+The reference's radix join exists to make each per-partition build table fit
+cache during the probe (src/RadixCluster/HashJoin.hpp:243-331: per-partition
+``factory.New`` at :278, probe loop :295-301).  The TPU translation of that
+cache story (SURVEY.md §7 step 4) is VMEM residency:
+
+1. Both relations arrive sorted by key (one UNstable 1-key ``jax.lax.sort``
+   each — measured 2.1 ns/element, the cheapest full data movement on this
+   chip).  A sorted layout IS range-radix clustering: partition = contiguous
+   key range (Manegold et al.'s original radix formulation on key bits; the
+   reference hashes first only to randomize arbitrary key sets).
+2. The probe is cut into fixed ``BLOCK``-key blocks.  A sorted block spans a
+   key range, so it can only match a contiguous range of the sorted build
+   side; one ``searchsorted`` of the grid-count block boundaries (not the
+   probe rows!) yields each block's build range.
+3. The kernel walks probe blocks on the grid.  Per block it DMAs the build
+   range from HBM tile-by-tile (scalar-prefetched offsets — data-dependent
+   DMA at block granularity is the one dynamic access Mosaic grants) and
+   searches every probe element against the VMEM tile.
+
+Tile layout (the trick that makes the search Mosaic-legal): the build side
+is pre-arranged into ``CAP``-key tiles of shape (SUBL, 128) where **lane l
+holds keys [16l, 16l+16) of the tile** — so each lane is a contiguous sorted
+run and the last sublane row is the per-lane maxima, ascending across lanes.
+Measured constraint: ``take_along_axis`` gathers only within native 128-lane
+tiles, in-row.  With this layout membership is:
+
+    level 1: binary-search the (1,128) maxima row for the owning lane
+             (7 in-row gathers — per-element, all within 128 lanes)
+    level 2: scan the owning lane's SUBL entries: SUBL in-row gathers of
+             broadcast sublane rows + equality + a flat-position validity
+             guard (tile padding is INT32_MAX and must not match genuine
+             INT32_MAX probes)
+
+Per element: ~23 in-row gathers + compares in VPU registers.  No HBM gather
+ever happens — the round-1 radix probe paid 7.6 ns per HBM gather × ~12 per
+row; this kernel replaces all of them with VMEM traffic.
+
+Exactness: sentinel-free over the full int32 domain.  Build tiles beyond
+``n_a`` are INT32_MAX but excluded by the per-chunk length guard; probe
+padding (INT32_MAX) is corrected on the host side of the jit (padding rows
+match iff INT32_MAX is a genuine build key — detectable as ``a_sorted[-1]``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUBL = 16  # sublanes per tile; lane l holds SUBL contiguous keys
+CAP = SUBL * LANES  # 2048 build keys per tile/DMA chunk
+#: probe rows per grid step: 512*128 = 64K probe keys per block
+BLOCK_ROWS = 512
+BLOCK = BLOCK_ROWS * LANES
+_I32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def tile_build_side(a_sorted: jax.Array):
+    """(tiles, n_tiles): arrange sorted build keys into the kernel's tiled-
+    transposed HBM layout, padded with INT32_MAX plus one spare tile.
+
+    tiles[k, r, l] = a_padded[CAP*k + SUBL*l + r] — lane-contiguous runs.
+    """
+    n_a = a_sorted.shape[0]
+    n_tiles = (n_a + CAP - 1) // CAP + 1  # +1: chunk loops may touch one past
+    a_pad = jnp.full((n_tiles * CAP,), _I32_MAX, jnp.int32)
+    a_pad = jax.lax.dynamic_update_slice(a_pad, a_sorted.astype(jnp.int32), (0,))
+    tiles = a_pad.reshape(n_tiles, LANES, SUBL).transpose(0, 2, 1)
+    return tiles, n_tiles
+
+
+def _tile_member_mask(tile, q, length):
+    """bool q.shape: does q exist among tile's first ``length`` keys?
+
+    ``tile`` is (SUBL, 128) in the lane-contiguous layout; flat sorted
+    position of tile[r, l] is SUBL*l + r.
+    """
+    maxima = jnp.broadcast_to(tile[SUBL - 1 : SUBL, :], q.shape)
+    # level 1: lower-bound lane t = first lane whose max >= q
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, LANES, jnp.int32)
+    for _ in range(8):  # full convergence of [0,128] needs ceil(log2(129))
+        mid = jax.lax.shift_right_logical(lo + hi, jnp.int32(1))
+        go_right = jnp.take_along_axis(maxima, mid, axis=1) < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    t = jnp.minimum(lo, LANES - 1)  # q > all maxima -> no match anyway
+    # level 2: scan the owning lane's SUBL entries
+    hit = jnp.zeros(q.shape, jnp.bool_)
+    base = t * SUBL
+    for r in range(SUBL):
+        row_r = jnp.broadcast_to(tile[r : r + 1, :], q.shape)
+        val = jnp.take_along_axis(row_r, t, axis=1)
+        hit = hit | ((val == q) & (base + r < length))
+    return hit
+
+
+def _ranged_count_kernel(
+    blk_ref,  # scalar prefetch: int32[W] probe-block index per work item
+    tile_ref,  # scalar prefetch: int32[W] build tile to search
+    len_ref,  # scalar prefetch: int32[W] genuine keys in this chunk (0=noop)
+    plast_ref,  # scalar prefetch: int32[W] build key just before this chunk
+    pvalid_ref,  # scalar prefetch: int32[W] 1 = plast is a real key
+    a_hbm,  # int32[n_tiles, SUBL, 128] tiled build keys (stays in HBM)
+    b_ref,  # int32[BLOCK_ROWS, 128] this work item's probe block (VMEM)
+    out_ref,  # int32[1] total count (SMEM)
+    tile_vmem,  # VMEM scratch (SUBL, 128)
+    sem,  # DMA semaphore
+    acc_ref,  # SMEM scratch accumulator
+):
+    """One (probe block, build tile) work item per grid step.
+
+    The work list is flattened on the host side of the jit because Mosaic
+    cannot legalize loops with data-dependent trip counts (scf.for); a
+    straight-line body over a precomputed list also lets the pallas
+    pipeline prefetch the next probe block while this tile is searched.
+
+    An element may match in TWO consecutive tiles of its block's range
+    (duplicates straddling the tile boundary); it is counted only in the
+    tile where its run starts: ``q > (last build key before this tile)``.
+    """
+    w = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(w == 0)
+    def _():
+        acc_ref[0] = 0
+
+    dma = pltpu.make_async_copy(a_hbm.at[tile_ref[w]], tile_vmem, sem)
+    dma.start()
+    dma.wait()
+    q = b_ref[:]
+    hit = _tile_member_mask(tile_vmem[:], q, len_ref[w])
+    first_run = (q > plast_ref[w]) | (pvalid_ref[w] == 0)
+    acc_ref[0] = acc_ref[0] + jnp.sum((hit & first_run).astype(jnp.int32))
+
+    @pl.when(w == num_steps - 1)
+    def _():
+        out_ref[0] = acc_ref[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exclude_int32_max")
+)
+def ranged_merge_count_prepared(
+    a_sorted: jax.Array,
+    b_sorted: jax.Array,
+    exclude_int32_max: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Get-semantics match count: number of ``b_sorted`` rows whose key
+    exists in ``a_sorted`` (both int32 ascending).  See module doc.
+
+    ``exclude_int32_max=True`` clamps every searched range below the first
+    INT32_MAX build key and therefore counts NO INT32_MAX probe rows —
+    the validity-mask protocol of ops/merge_join.py (invalid rows are
+    rewritten to INT32_MAX before sorting; the caller restores genuine
+    INT32_MAX matches in closed form).
+    """
+    n_a = a_sorted.shape[0]
+    n_b = b_sorted.shape[0]
+    if n_a == 0 or n_b == 0:
+        return jnp.asarray(0, jnp.int32)
+
+    # probe padding to a BLOCK multiple (INT32_MAX; corrected below)
+    padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
+    b_pad = jnp.full((padded_b,), _I32_MAX, jnp.int32)
+    b_pad = jax.lax.dynamic_update_slice(b_pad, b_sorted.astype(jnp.int32), (0,))
+    num_blocks = padded_b // BLOCK
+
+    tiles, n_tiles = tile_build_side(a_sorted)
+    a_flat = tiles.transpose(0, 2, 1).reshape(-1)  # padded flat sorted keys
+
+    # per-block build ranges from the block boundary keys (searchsorted over
+    # the genuine build prefix), widened outward to tile alignment — the
+    # extra edge keys are < block-min or > block-max and can never match
+    firsts = b_pad[::BLOCK]
+    lasts = b_pad[BLOCK - 1 :: BLOCK]
+    a32 = a_sorted.astype(jnp.int32)
+    lo = jnp.searchsorted(a32, firsts, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(a32, lasts, side="right").astype(jnp.int32)
+    if exclude_int32_max:
+        limit = jnp.searchsorted(
+            a32, jnp.asarray(_I32_MAX, jnp.int32), side="left"
+        ).astype(jnp.int32)
+        lo = jnp.minimum(lo, limit)
+        hi = jnp.minimum(hi, limit)
+    tile0 = jax.lax.div(lo, jnp.int32(CAP))
+    length = jnp.maximum(hi - tile0 * CAP, 0)
+    ntiles = jax.lax.div(
+        (length + CAP - 1).astype(jnp.int32), jnp.int32(CAP)
+    )
+
+    # ---- flatten (block, tile-chunk) pairs into a static work list.
+    # Mosaic cannot legalize data-dependent loop bounds inside the kernel,
+    # so the chunk loop becomes extra grid steps.  Static bound: block b
+    # searches ceil(range_b / CAP) tiles; ranges overlap only at block
+    # boundaries, so sum(ntiles) <= num_blocks (one partial tile each)
+    # + n_tiles (distinct tiles) + num_blocks (boundary overlaps).
+    w_cap = 2 * num_blocks + n_tiles
+    offs = jnp.cumsum(ntiles) - ntiles
+    total_work = offs[-1] + ntiles[-1]
+    w_idx = jnp.arange(w_cap, dtype=jnp.int32)
+    blk = (
+        jnp.searchsorted(offs, w_idx, side="right").astype(jnp.int32) - 1
+    ).clip(0, num_blocks - 1)
+    c = w_idx - offs[blk]
+    tile_w = (tile0[blk] + c).clip(0, n_tiles - 1)
+    len_w = jnp.where(
+        (w_idx < total_work) & (c >= 0),
+        jnp.clip(length[blk] - c * CAP, 0, CAP),
+        0,
+    )
+    gpos = tile_w * CAP  # global flat position of this chunk's first key
+    prev_valid = (gpos > 0).astype(jnp.int32)
+    prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
+
+    count = pl.pallas_call(
+        _ranged_count_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(w_cap,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
+                pl.BlockSpec(
+                    (BLOCK_ROWS, LANES),
+                    # consecutive work items usually share a probe block;
+                    # the pipeline skips re-fetching an unchanged block
+                    lambda w, blk_ref, *_: (blk_ref[w], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[
+                pltpu.VMEM((SUBL, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        interpret=interpret,
+    )(
+        blk,
+        tile_w,
+        len_w,
+        prev_last,
+        prev_valid,
+        tiles,
+        b_pad.reshape(BLOCK_ROWS * num_blocks, LANES),
+    )[0]
+
+    if exclude_int32_max:
+        # ranges exclude the INT32_MAX region entirely, so neither probe
+        # padding nor genuine INT32_MAX probes were counted — no correction
+        return count
+    # probe-padding correction: padded INT32_MAX rows matched iff INT32_MAX
+    # is a genuine build key (== the build maximum, since sorted)
+    n_pad = padded_b - n_b
+    max_in_a = a32[n_a - 1] == _I32_MAX
+    return count - jnp.where(max_in_a, n_pad, 0)
+
+
+def ranged_merge_count(
+    a_sorted: jax.Array, b_sorted: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Count of sorted-probe rows whose key exists among the sorted build
+    keys — the pre-sorted merge primitive (full int32 domain)."""
+    return ranged_merge_count_prepared(a_sorted, b_sorted, interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# int64 keys: hi/lo int32 plane pairs with lexicographic compare.
+#
+# The reference's Tuple::id is int64 (src/Common/Table.hpp:20-25).  Mosaic
+# kernels are 32-bit, so a 64-bit key becomes two planes:
+#     hi = key >> 32 (signed), lo_cmp = (key & 0xFFFFFFFF) - 2^31 (the bias
+# trick: int32 compare of lo_cmp == unsigned compare of the low word), and
+# (hi, lo_cmp) ordered lexicographically == int64 order.  Tiles, probe
+# blocks, and padding all carry both planes; gather count doubles (~46
+# in-row gathers per element).
+# ---------------------------------------------------------------------------
+
+
+def split_i64(x: jax.Array):
+    """(hi, lo_cmp) int32 planes of an int64 array (order-preserving)."""
+    hi = (x >> jnp.int64(32)).astype(jnp.int32)
+    lo_cmp = ((x & jnp.int64(0xFFFFFFFF)) - jnp.int64(1 << 31)).astype(
+        jnp.int32
+    )
+    return hi, lo_cmp
+
+
+def _tile_member_mask_i64(tile_h, tile_l, qh, ql, length):
+    """bool: does (qh, ql) exist among the tile's first ``length`` keys?"""
+    mh = jnp.broadcast_to(tile_h[SUBL - 1 : SUBL, :], qh.shape)
+    ml = jnp.broadcast_to(tile_l[SUBL - 1 : SUBL, :], qh.shape)
+    lo = jnp.zeros(qh.shape, jnp.int32)
+    hi = jnp.full(qh.shape, LANES, jnp.int32)
+    for _ in range(8):
+        mid = jax.lax.shift_right_logical(lo + hi, jnp.int32(1))
+        vh = jnp.take_along_axis(mh, mid, axis=1)
+        vl = jnp.take_along_axis(ml, mid, axis=1)
+        go_right = (vh < qh) | ((vh == qh) & (vl < ql))
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    t = jnp.minimum(lo, LANES - 1)
+    hit = jnp.zeros(qh.shape, jnp.bool_)
+    base = t * SUBL
+    for r in range(SUBL):
+        vh = jnp.take_along_axis(
+            jnp.broadcast_to(tile_h[r : r + 1, :], qh.shape), t, axis=1
+        )
+        vl = jnp.take_along_axis(
+            jnp.broadcast_to(tile_l[r : r + 1, :], qh.shape), t, axis=1
+        )
+        hit = hit | ((vh == qh) & (vl == ql) & (base + r < length))
+    return hit
+
+
+def _ranged_count_kernel_i64(
+    blk_ref, tile_ref, len_ref, plast_h_ref, plast_l_ref, pvalid_ref,
+    ah_hbm, al_hbm, bh_ref, bl_ref, out_ref,
+    tile_h, tile_l, sem_h, sem_l, acc_ref,
+):
+    w = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(w == 0)
+    def _():
+        acc_ref[0] = 0
+
+    dh = pltpu.make_async_copy(ah_hbm.at[tile_ref[w]], tile_h, sem_h)
+    dl = pltpu.make_async_copy(al_hbm.at[tile_ref[w]], tile_l, sem_l)
+    dh.start()
+    dl.start()
+    dh.wait()
+    dl.wait()
+    qh = bh_ref[:]
+    ql = bl_ref[:]
+    hit = _tile_member_mask_i64(tile_h[:], tile_l[:], qh, ql, len_ref[w])
+    ph = plast_h_ref[w]
+    plc = plast_l_ref[w]
+    q_gt_prev = (qh > ph) | ((qh == ph) & (ql > plc))
+    first_run = q_gt_prev | (pvalid_ref[w] == 0)
+    acc_ref[0] = acc_ref[0] + jnp.sum((hit & first_run).astype(jnp.int32))
+
+    @pl.when(w == num_steps - 1)
+    def _():
+        out_ref[0] = acc_ref[0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ranged_merge_count_i64(
+    a_sorted: jax.Array,
+    b_sorted: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """int64 variant of ``ranged_merge_count`` (requires x64 inputs).
+
+    Same algorithm; keys travel as (hi, lo) int32 plane pairs.  Padding is
+    INT64_MAX, corrected like the int32 path.
+    """
+    n_a = a_sorted.shape[0]
+    n_b = b_sorted.shape[0]
+    if n_a == 0 or n_b == 0:
+        return jnp.asarray(0, jnp.int32)
+    i64_max = jnp.iinfo(jnp.int64).max
+    a64 = a_sorted.astype(jnp.int64)
+    b64 = b_sorted.astype(jnp.int64)
+
+    padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
+    b_pad = jnp.full((padded_b,), i64_max, jnp.int64)
+    b_pad = jax.lax.dynamic_update_slice(b_pad, b64, (0,))
+    num_blocks = padded_b // BLOCK
+
+    n_tiles = (n_a + CAP - 1) // CAP + 1
+    a_pad = jnp.full((n_tiles * CAP,), i64_max, jnp.int64)
+    a_pad = jax.lax.dynamic_update_slice(a_pad, a64, (0,))
+    ah, al = split_i64(a_pad)
+    tiles_h = ah.reshape(n_tiles, LANES, SUBL).transpose(0, 2, 1)
+    tiles_l = al.reshape(n_tiles, LANES, SUBL).transpose(0, 2, 1)
+
+    firsts = b_pad[::BLOCK]
+    lasts = b_pad[BLOCK - 1 :: BLOCK]
+    lo = jnp.searchsorted(a64, firsts, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(a64, lasts, side="right").astype(jnp.int32)
+    tile0 = jax.lax.div(lo, jnp.int32(CAP))
+    length = jnp.maximum(hi - tile0 * CAP, 0)
+    ntiles = jax.lax.div(
+        (length + CAP - 1).astype(jnp.int32), jnp.int32(CAP)
+    )
+
+    w_cap = 2 * num_blocks + n_tiles
+    offs = jnp.cumsum(ntiles) - ntiles
+    total_work = offs[-1] + ntiles[-1]
+    w_idx = jnp.arange(w_cap, dtype=jnp.int32)
+    blk = (
+        jnp.searchsorted(offs, w_idx, side="right").astype(jnp.int32) - 1
+    ).clip(0, num_blocks - 1)
+    c = w_idx - offs[blk]
+    tile_w = (tile0[blk] + c).clip(0, n_tiles - 1)
+    len_w = jnp.where(
+        (w_idx < total_work) & (c >= 0),
+        jnp.clip(length[blk] - c * CAP, 0, CAP),
+        0,
+    )
+    gpos = tile_w * CAP
+    prev_valid = (gpos > 0).astype(jnp.int32)
+    prev = a_pad[jnp.maximum(gpos - 1, 0)]
+    plast_h, plast_l = split_i64(prev)
+    bh, bl = split_i64(b_pad)
+
+    count = pl.pallas_call(
+        _ranged_count_kernel_i64,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(w_cap,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (BLOCK_ROWS, LANES),
+                    lambda w, blk_ref, *_: (blk_ref[w], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (BLOCK_ROWS, LANES),
+                    lambda w, blk_ref, *_: (blk_ref[w], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            scratch_shapes=[
+                pltpu.VMEM((SUBL, LANES), jnp.int32),
+                pltpu.VMEM((SUBL, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        interpret=interpret,
+    )(
+        blk,
+        tile_w,
+        len_w,
+        plast_h,
+        plast_l,
+        prev_valid,
+        tiles_h,
+        tiles_l,
+        bh.reshape(BLOCK_ROWS * num_blocks, LANES),
+        bl.reshape(BLOCK_ROWS * num_blocks, LANES),
+    )[0]
+
+    n_pad = padded_b - n_b
+    max_in_a = a64[n_a - 1] == i64_max
+    return count - jnp.where(max_in_a, n_pad, 0)

@@ -272,11 +272,32 @@ class SortMergeJoiner:
         timer.set_build_phase_begin()
         timer.set_build_phase_end()
         timer.set_probe_phase_begin()
-        count = sort_merge_count(table_a.keys, table_b.keys)
+        count = self.count(table_a.keys, table_b.keys)
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count
+
+    @staticmethod
+    def count(build_keys, probe_keys) -> jax.Array:
+        """Fastest available count path for the current backend/dtype.
+
+        int32 on a Mosaic backend: the two-run kernel join (one UNstable
+        1-key sort per relation + the VMEM merge-probe kernel,
+        ops/merge_join.py — measured ~25% faster than the concatenated
+        2-key sort it replaces, and the kernel probe replaces the XLA scan
+        passes).  Otherwise (CPU tests, int64 keys): the concatenated
+        sort + scan path above.
+        """
+        from partitionedhashjoin_tpu.ops import merge_join
+
+        if merge_join.supported():
+            if _key_dtype(build_keys, probe_keys) == jnp.int32:
+                return merge_join.two_run_count(build_keys, probe_keys)
+            if jax.config.jax_enable_x64:
+                # int64 keys: the hi/lo-plane kernel variant
+                return merge_join.two_run_count_i64(build_keys, probe_keys)
+        return sort_merge_count(build_keys, probe_keys)
 
     def run_materialize(
         self,

@@ -362,12 +362,23 @@ def _pipelined_probe(
     count, so XLA's async collective scheduling can overlap them on ICI.
 
     Chunk c takes bucket ranks ≡ c (mod K): valid rows sit at the front of
-    each bucket, so round-robin striping loads chunks evenly."""
+    each bucket, so round-robin striping loads chunks evenly.
+
+    The received build side is sorted ONCE before the chunk scan; each
+    chunk then counts against the pre-sorted run (sort the chunk + the
+    ranged merge-probe kernel on TPU — ops/merge_join.py's INT32_MAX mask
+    protocol).  Backends without the Mosaic kernel fall back to the
+    concatenated sort-merge per chunk, which re-sorts the build side K
+    times (~5% extra sort work per chunk at the reference's 1:20 ratio).
+    """
+    from partitionedhashjoin_tpu.ops import merge_join
     from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
     hot_table = _hot_table_or_placeholder(
         use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
     )
+    use_kernel = merge_join.supported()
+    i32_max = jnp.iinfo(jnp.int32).max
 
     def local(rka, rva, bkb, bvb, kb, ihb, hot_tbl):
         num_shards = jax.lax.axis_size(SHARD_AXIS)
@@ -381,18 +392,37 @@ def _pipelined_probe(
                 x, SHARD_AXIS, split_axis=0, concat_axis=0
             )
 
+        if use_kernel:
+            # pre-sorted merge primitive: invalid rows -> INT32_MAX, one
+            # UNstable sort, kernel ranges exclude the INT32_MAX region
+            a_eff = jnp.where(rva, rka, i32_max)
+            a_sorted = jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0]
+            max_in_a = jnp.any(rva & (rka == i32_max))
+
+            def chunk_count(rk, rv):
+                b_eff = jnp.where(rv, rk, i32_max)
+                b_sorted = jax.lax.sort(
+                    (b_eff,), num_keys=1, is_stable=False
+                )[0]
+                cnt = merge_join.merge_probe.ranged_merge_count_prepared(
+                    a_sorted, b_sorted, exclude_int32_max=True
+                )
+                n_max = jnp.sum((rv & (rk == i32_max)).astype(jnp.int32))
+                return cnt + jnp.where(max_in_a, n_max, 0)
+
+        else:
+
+            def chunk_count(rk, rv):
+                return sort_merge_count(rka, rk, rva, rv)
+
         first = (a2a(bkb3[:, :, 0]), a2a(bvb3[:, :, 0]))
 
         def body(carry, k):
             rk, rv = carry
-            # prefetch chunk k+1 — independent of this chunk's count.  NOTE:
-            # each chunk's local count re-sorts the received build side (the
-            # sort-merge has no pre-sorted-merge primitive yet), an overhead
-            # of (K-1) extra build-side sorts; with the build side ~1/20 of
-            # the probe side this costs ~K*5% extra sort work.
+            # prefetch chunk k+1 — independent of this chunk's count
             next_rk = a2a(jnp.take(bkb3, k + 1, axis=2))
             next_rv = a2a(jnp.take(bvb3, k + 1, axis=2))
-            cnt = sort_merge_count(rka, rk.reshape(-1), rva, rv.reshape(-1))
+            cnt = chunk_count(rk.reshape(-1), rv.reshape(-1))
             return (next_rk, next_rv), cnt
 
         (last_rk, last_rv), counts = jax.lax.scan(
@@ -400,8 +430,8 @@ def _pipelined_probe(
         )
         # final chunk: already received by the last prefetch — count it
         # without issuing another exchange
-        count = jnp.sum(counts) + sort_merge_count(
-            rka, last_rk.reshape(-1), rva, last_rv.reshape(-1)
+        count = jnp.sum(counts) + chunk_count(
+            last_rk.reshape(-1), last_rv.reshape(-1)
         )
         if use_hot:
             found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
@@ -447,15 +477,21 @@ def _sort_merge_local_count(
 
     Replaces separate build/probe programs — the sort subsumes the build, so
     the shuffle join's post-exchange cost is one sort of the shard-local
-    rows, mirroring the single-chip flagship."""
+    rows, mirroring the single-chip flagship (the two-run kernel join on
+    TPU, the concatenated sort-merge elsewhere)."""
+    from partitionedhashjoin_tpu.ops import merge_join
     from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
     hot_table = _hot_table_or_placeholder(
         use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
     )
+    use_kernel = merge_join.supported()
 
     def local(rka, rva, rkb, rvb, kb, ihb, hot_tbl):
-        count = sort_merge_count(rka, rkb, rva, rvb)
+        if use_kernel:
+            count = merge_join.two_run_count(rka, rkb, rva, rvb)
+        else:
+            count = sort_merge_count(rka, rkb, rva, rvb)
         if use_hot:
             found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
             count = count + jnp.sum(found_hot.astype(jnp.int32))

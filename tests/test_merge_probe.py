@@ -1,0 +1,159 @@
+"""Ranged merge-probe kernel + two-run join wrapper (interpret mode on CPU).
+
+The kernel is the VMEM per-partition probe the round-1 review flagged as the
+biggest unbuilt component; these tests pin its exactness properties: full
+int32 domain (INT32_MAX is load-bearing: it is also the padding value),
+duplicate-heavy runs, multi-tile ranges, validity masks, and agreement with
+the hash and sort-merge paths.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.ops.merge_join import two_run_count
+from partitionedhashjoin_tpu.ops.pallas.merge_probe import (
+    BLOCK,
+    CAP,
+    ranged_merge_count,
+    tile_build_side,
+)
+
+I32_MAX = np.iinfo(np.int32).max
+I32_MIN = np.iinfo(np.int32).min
+
+
+def _count(a, b, **kw):
+    a = np.sort(np.asarray(a, np.int32))
+    b = np.sort(np.asarray(b, np.int32))
+    return int(ranged_merge_count(jnp.asarray(a), jnp.asarray(b),
+                                  interpret=True, **kw))
+
+
+def test_tile_layout_lane_contiguous():
+    a = jnp.arange(5000, dtype=jnp.int32)
+    tiles, n_tiles = tile_build_side(a)
+    assert tiles.shape == (n_tiles, CAP // 128, 128)
+    t = np.asarray(tiles)
+    # tiles[k, r, l] = a_padded[CAP*k + SUBL*l + r]
+    assert t[0, 0, 0] == 0 and t[0, 1, 0] == 1 and t[0, 0, 1] == 16
+    assert t[1, 3, 2] == CAP + 16 * 2 + 3
+    assert t[-1, -1, -1] == I32_MAX  # spare padding tile
+
+
+@pytest.mark.parametrize("dom", [50, 8000, 2**31 - 1])
+def test_random_counts_match_numpy(dom):
+    rng = np.random.default_rng(dom)
+    a = rng.integers(-dom, dom, 4000).astype(np.int32)
+    b = rng.integers(-dom, dom, 70000).astype(np.int32)
+    assert _count(a, b) == int(np.isin(b, a).sum())
+
+
+def test_multi_tile_ranges():
+    # build >> CAP with narrow probe blocks forces multi-chunk fori loops
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 3_000_000, 1_000_000).astype(np.int32)
+    b = rng.integers(0, 3_000_000, BLOCK + 17).astype(np.int32)
+    assert _count(a, b) == int(np.isin(b, a).sum())
+
+
+def test_full_domain_edges():
+    a = [I32_MAX, I32_MAX, 5, I32_MIN, -7]
+    b = [I32_MAX, 5, 6, I32_MAX, -7, I32_MIN, I32_MIN]
+    assert _count(a, b) == 6
+    assert _count([5, -7], [I32_MAX, 5]) == 1  # padding must not match
+    assert _count([I32_MAX], [I32_MAX] * 3) == 3
+
+
+def test_empty_inputs():
+    assert _count([], [1, 2]) == 0
+    assert _count([1, 2], []) == 0
+
+
+def test_two_run_count_agrees_with_sort_merge():
+    from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(-(2**31), 2**31 - 1, 3000, dtype=np.int64).astype(np.int32)
+    b = rng.integers(-(2**31), 2**31 - 1, 66000, dtype=np.int64).astype(np.int32)
+    b[:30000] = rng.choice(a, 30000)
+    got = int(two_run_count(jnp.asarray(a), jnp.asarray(b), interpret=True))
+    want = int(sort_merge_count(jnp.asarray(a), jnp.asarray(b)))
+    assert got == want == int(np.isin(b, a).sum())
+
+
+def test_two_run_count_validity_masks_with_int32_max():
+    a = np.asarray([I32_MAX, 5, 9, I32_MAX, 77], np.int32)
+    av = np.asarray([True, True, False, False, True])
+    b = np.tile(np.asarray([I32_MAX, 9, 5, 77, I32_MAX, 3], np.int32), 11000)
+    bv = np.tile(np.asarray([True, True, False, True, False, True]), 11000)
+    # valid build keys {I32_MAX, 5, 77}; per repeated group the counted rows
+    # are I32_MAX (valid+present) and 77 -> 2 of 6
+    got = int(
+        two_run_count(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(av), jnp.asarray(bv),
+            interpret=True,
+        )
+    )
+    assert got == 22000
+
+
+def test_radix_vmem_mode_joiner():
+    from partitionedhashjoin_tpu.config import RadixClusteringConfiguration
+    from partitionedhashjoin_tpu.data.table import make_table
+    from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
+
+    # interpret-mode Pallas does not run through the joiner (it requests the
+    # compiled path); on CPU "auto" resolves to chained — assert that the
+    # mode plumbing selects correctly and that "chained" still answers
+    rng = np.random.default_rng(2)
+    a_keys = rng.integers(0, 5000, 2500).astype(np.int32)
+    b_keys = rng.integers(0, 5000, 9000).astype(np.int32)
+    a = make_table(a_keys, np.arange(2500, dtype=np.int32))
+    b = make_table(b_keys, np.arange(9000, dtype=np.int32))
+    want = int(np.isin(b_keys, a_keys).sum())
+    chained = RadixHashJoiner(
+        RadixClusteringConfiguration(number_of_partitions=8, mode="chained"),
+        seed=3,
+    )
+    assert chained.run(a, b) == want
+    auto = RadixHashJoiner(
+        RadixClusteringConfiguration(number_of_partitions=8), seed=3
+    )
+    assert auto.run(a, b) == want
+
+
+def test_int64_kernel_interpret():
+    import jax
+    from partitionedhashjoin_tpu.ops.merge_join import two_run_count_i64
+    from partitionedhashjoin_tpu.ops.pallas.merge_probe import split_i64
+
+    with jax.enable_x64(True):
+        # split_i64 preserves order lexicographically
+        vals = jnp.asarray(
+            [np.iinfo(np.int64).min, -(2**40), -1, 0, 1, 2**33, 2**40 + 5,
+             np.iinfo(np.int64).max],
+            jnp.int64,
+        )
+        h, l = split_i64(vals)
+        pairs = list(zip(np.asarray(h).tolist(), np.asarray(l).tolist()))
+        assert pairs == sorted(pairs)
+
+        rng = np.random.default_rng(17)
+        a = rng.integers(-(2**62), 2**62, 3000).astype(np.int64)
+        b = rng.integers(-(2**62), 2**62, 66000).astype(np.int64)
+        b[:20000] = rng.choice(a, 20000)
+        got = int(two_run_count_i64(jnp.asarray(a), jnp.asarray(b),
+                                    interpret=True))
+        assert got == int(np.isin(b, a).sum())
+
+        # edges: INT64_MAX present and absent
+        M = np.iinfo(np.int64).max
+        a2 = np.asarray([M, 5, -(2**50)], np.int64)
+        b2 = np.asarray([M, M, 5, 7, -(2**50)], np.int64)
+        assert int(two_run_count_i64(jnp.asarray(a2), jnp.asarray(b2),
+                                     interpret=True)) == 4
+        a3 = np.asarray([5], np.int64)
+        b3 = np.asarray([M, 5], np.int64)
+        assert int(two_run_count_i64(jnp.asarray(a3), jnp.asarray(b3),
+                                     interpret=True)) == 1
