@@ -128,15 +128,28 @@ def main() -> None:
 
     t0 = time.perf_counter()
     table_a = sequential_table(n_a)
-    # Probe keys are sampled ON DEVICE with the exact Vose alias method:
-    # the native builder produces 8 B/key-of-domain tables (80 MB at 10M
-    # cardinality) so only the tables cross the slow relay, not the 800 MB
-    # relation.  (The rejection sampler's while_loop costs 150-200 s of
-    # remote compile; the alias program is small.  Fallback for domains
-    # beyond 2^24: host generation + transfer.)
+    # Probe keys are sampled entirely ON CHIP with the hardware PRNG
+    # (ops/pallas/generate.py): nothing relation- or domain-sized crosses
+    # the ~0.4-30 MB/s relay.  Round-1 used the Vose alias sampler, whose
+    # 80 MB domain tables cost 220+ s of device_put alone; the Pallas
+    # sampler generates 200M keys in ~0.2 s warm, and its compile is
+    # amortized by the persistent cache.  Fallback chain: alias tables
+    # (exact, domain <= 2^24) then host generation.
     from partitionedhashjoin_tpu.data import host_loader
 
-    if n_a <= (1 << 24):
+    ids = None
+    try:
+        from partitionedhashjoin_tpu.ops.pallas.generate import (
+            zipf_keys_pallas,
+        )
+
+        t1 = time.perf_counter()
+        ids = zipf_keys_pallas(20260816, n_b, skew, n_a)
+        sync(ids)
+        log(f"  on-chip pallas sampler: {time.perf_counter() - t1:.1f}s")
+    except Exception as e:  # noqa: BLE001 - fall back, don't fail the bench
+        log(f"  pallas sampler unavailable ({type(e).__name__}); alias path")
+    if ids is None and n_a <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 
         t1 = time.perf_counter()
@@ -150,7 +163,7 @@ def main() -> None:
         ids = zipf_keys_alias(jax.random.PRNGKey(20260816), n_b, prob, alias)
         sync(ids)
         log(f"  alias sampling program: {time.perf_counter() - t1:.1f}s")
-    else:
+    elif ids is None:
         import numpy as np
 
         ids_np, _ = host_loader.generate_zipf(

@@ -128,16 +128,30 @@ def _ranged_count_kernel(
     """
     w = pl.program_id(0)
     num_steps = pl.num_programs(0)
+    slot = jax.lax.rem(w, 2)
+    nxt = jax.lax.rem(w + 1, 2)
 
     @pl.when(w == 0)
     def _():
         acc_ref[0] = 0
+        # warm-up: fetch the first tile into slot 0
+        pltpu.make_async_copy(
+            a_hbm.at[tile_ref[0]], tile_vmem.at[0], sem.at[0]
+        ).start()
 
-    dma = pltpu.make_async_copy(a_hbm.at[tile_ref[w]], tile_vmem, sem)
-    dma.start()
-    dma.wait()
+    # double buffer: start the NEXT work item's tile before searching this
+    # one, then wait only on this item's slot
+    @pl.when(w + 1 < num_steps)
+    def _():
+        pltpu.make_async_copy(
+            a_hbm.at[tile_ref[w + 1]], tile_vmem.at[nxt], sem.at[nxt]
+        ).start()
+
+    pltpu.make_async_copy(
+        a_hbm.at[tile_ref[w]], tile_vmem.at[slot], sem.at[slot]
+    ).wait()
     q = b_ref[:]
-    hit = _tile_member_mask(tile_vmem[:], q, len_ref[w])
+    hit = _tile_member_mask(tile_vmem[slot], q, len_ref[w])
     first_run = (q > plast_ref[w]) | (pvalid_ref[w] == 0)
     acc_ref[0] = acc_ref[0] + jnp.sum((hit & first_run).astype(jnp.int32))
 
@@ -239,8 +253,8 @@ def ranged_merge_count_prepared(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
             scratch_shapes=[
-                pltpu.VMEM((SUBL, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, SUBL, LANES), jnp.int32),  # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((1,), jnp.int32),
             ],
         ),

@@ -272,12 +272,21 @@ class RadixHashJoiner:
         from partitionedhashjoin_tpu.ops import merge_join
 
         timer = timer or NoOpHashJoinTimer()
-        sort1 = jax.jit(
-            lambda x: jax.lax.sort((x,), num_keys=1, is_stable=False)[0]
-        )
+
+        @jax.jit
+        def sort_both(a, b):
+            # one program for both fan-outs, like the reference running both
+            # partition jobs concurrently on the pool (HashJoin.hpp:210-213)
+            return (
+                jax.lax.sort((a,), num_keys=1, is_stable=False)[0],
+                jax.lax.sort((b,), num_keys=1, is_stable=False)[0],
+            )
+
         timer.set_partitioning_phase_begin()
-        a_sorted = sort1(jnp.asarray(table_a.keys, jnp.int32))
-        b_sorted = sort1(jnp.asarray(table_b.keys, jnp.int32))
+        a_sorted, b_sorted = sort_both(
+            jnp.asarray(table_a.keys, jnp.int32),
+            jnp.asarray(table_b.keys, jnp.int32),
+        )
         sync((a_sorted, b_sorted))
         timer.set_partitioning_phase_end()
 

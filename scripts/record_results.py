@@ -25,6 +25,11 @@ sys.path.insert(0, REPO)
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
+# persistent compile cache: sweep points share programs; relay compiles
+# cost 30-200 s each without it
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def main() -> int:
     p = argparse.ArgumentParser()
@@ -63,7 +68,16 @@ def main() -> int:
     log(f"device: {jax.devices()[0]}")
     t0 = time.perf_counter()
     table_a = sequential_table(args.primary)
-    if args.primary <= (1 << 24):
+    ids = None
+    try:
+        # on-chip PRNG sampler: no domain/relation-sized relay transfer
+        from partitionedhashjoin_tpu.ops.pallas.generate import zipf_keys_pallas
+
+        ids = zipf_keys_pallas(args.seed, args.secondary, args.skew, args.primary)
+        sync(ids)
+    except Exception as e:  # noqa: BLE001
+        log(f"pallas sampler unavailable ({type(e).__name__}); alias path")
+    if ids is None and args.primary <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 
         prob, alias = host_loader.build_zipf_alias(args.skew, args.primary)
@@ -73,7 +87,7 @@ def main() -> int:
             jax.device_put(prob),
             jax.device_put(alias),
         )
-    else:
+    elif ids is None:
         ids_np, _ = host_loader.generate_zipf(
             args.secondary, args.skew, (1, args.primary), seed=args.seed
         )
@@ -158,6 +172,25 @@ def main() -> int:
                 [("NumberOfPartitions", str(parts))],
             )
             columns.append((f"Radix_{parts}", doc))
+    if "radix-chained" in args.algos:
+        # the reference-structured hash fan-out + chained tables mode, for
+        # the parity record (the vmem mode above is the shipped default)
+        from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
+
+        for parts in args.partitions[:1]:
+            joiner = RadixHashJoiner(
+                RadixClusteringConfiguration(
+                    number_of_partitions=parts, mode="chained"
+                ),
+                seed=7,
+            )
+            doc = record(
+                joiner,
+                "RadixPartitioning",
+                f"partitions_{parts}_chained.txt",
+                [("NumberOfPartitions", str(parts)), ("Mode", "chained")],
+            )
+            columns.append((f"RadixChained_{parts}", doc))
 
     lines = ["Phase " + " ".join(name for name, _ in columns)]
     for phase in ("partition", "build", "probe"):
