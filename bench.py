@@ -128,27 +128,27 @@ def main() -> None:
 
     t0 = time.perf_counter()
     table_a = sequential_table(n_a)
-    # Probe keys are sampled entirely ON CHIP with the hardware PRNG
-    # (ops/pallas/generate.py): nothing relation- or domain-sized crosses
-    # the ~0.4-30 MB/s relay.  Round-1 used the Vose alias sampler, whose
-    # 80 MB domain tables cost 220+ s of device_put alone; the Pallas
-    # sampler generates 200M keys in ~0.2 s warm, and its compile is
-    # amortized by the persistent cache.  Fallback chain: alias tables
-    # (exact, domain <= 2^24) then host generation.
+    # Probe keys are sampled entirely ON DEVICE: nothing relation- or
+    # domain-sized crosses the ~0.4-30 MB/s relay.  Fallback chain:
+    # alias tables (exact, domain <= 2^24) then host generation.
     from partitionedhashjoin_tpu.data import host_loader
 
     ids = None
     try:
-        from partitionedhashjoin_tpu.ops.pallas.generate import (
-            zipf_keys_pallas,
-        )
+        # pure-XLA rejection sampler: no relay transfer, and XLA programs
+        # cache reliably in .jax_cache (Pallas custom-call fingerprints do
+        # NOT cache-hit across processes — measured: the same
+        # zipf_keys_pallas program recompiled 5-20 min on back-to-back runs
+        # despite a cache entry; the alias path's 80 MB table device_put
+        # costs 220 s through the relay either way)
+        from partitionedhashjoin_tpu.ops.generators import zipf_keys
 
         t1 = time.perf_counter()
-        ids = zipf_keys_pallas(20260816, n_b, skew, n_a)
+        ids = zipf_keys(jax.random.PRNGKey(20260816), n_b, skew, n_a)
         sync(ids)
-        log(f"  on-chip pallas sampler: {time.perf_counter() - t1:.1f}s")
+        log(f"  on-device rejection sampler: {time.perf_counter() - t1:.1f}s")
     except Exception as e:  # noqa: BLE001 - fall back, don't fail the bench
-        log(f"  pallas sampler unavailable ({type(e).__name__}); alias path")
+        log(f"  rejection sampler failed ({type(e).__name__}); alias path")
     if ids is None and n_a <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 

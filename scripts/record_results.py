@@ -70,13 +70,17 @@ def main() -> int:
     table_a = sequential_table(args.primary)
     ids = None
     try:
-        # on-chip PRNG sampler: no domain/relation-sized relay transfer
-        from partitionedhashjoin_tpu.ops.pallas.generate import zipf_keys_pallas
+        # pure-XLA rejection sampler: no relay transfer, reliable compile
+        # cache (Pallas fingerprints miss across processes — see bench.py)
+        from partitionedhashjoin_tpu.ops.generators import zipf_keys
 
-        ids = zipf_keys_pallas(args.seed, args.secondary, args.skew, args.primary)
+        ids = zipf_keys(
+            jax.random.PRNGKey(args.seed), args.secondary, args.skew,
+            args.primary,
+        )
         sync(ids)
     except Exception as e:  # noqa: BLE001
-        log(f"pallas sampler unavailable ({type(e).__name__}); alias path")
+        log(f"rejection sampler failed ({type(e).__name__}); alias path")
     if ids is None and args.primary <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 
