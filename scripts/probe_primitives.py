@@ -259,7 +259,7 @@ def section_pallas(probe, build, vals):
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(4,),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=pl.BlockSpec((8, 128), lambda i, *_: (i, 0),
                                        memory_space=pltpu.VMEM),
                 scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),

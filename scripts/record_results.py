@@ -160,6 +160,17 @@ def main() -> int:
             [("NumberOfShards", str(mesh.devices.size))],
         )
         columns.append((f"Shuffle_{mesh.devices.size}", doc))
+        # pipelined exchange (pre-sorted merge primitive): chunked all_to_all
+        # overlapped with per-chunk local joins
+        piped = DistributedShuffleJoiner(mesh, seed=7, pipeline_chunks=4)
+        doc = record(
+            piped,
+            "DistributedShufflePipelined",
+            "shuffle_pipelined.txt",
+            [("NumberOfShards", str(mesh.devices.size)),
+             ("PipelineChunks", "4")],
+        )
+        columns.append((f"ShufflePiped_{mesh.devices.size}", doc))
         table_a, table_b = saved
     if "radix" in args.algos:
         from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
