@@ -361,8 +361,12 @@ def _pipelined_probe(
     counting the CURRENT chunk; the collective has no data dependence on the
     count, so XLA's async collective scheduling can overlap them on ICI.
 
-    Chunk c takes bucket ranks ≡ c (mod K): valid rows sit at the front of
-    each bucket, so round-robin striping loads chunks evenly.
+    Chunk c takes the c-th CONTIGUOUS block of every bucket.  Buckets are
+    static-capacity, so each chunk moves exactly cap_b/K rows per shard pair
+    regardless of where the valid rows sit — chunk loads are even by
+    construction.  (A round-robin rank striping would be equivalent but
+    needs a (S, C/K, K) array whose minor dim of K pads to 128 lanes on
+    TPU — a 128/K× HBM inflation that OOMs at relation scale.)
 
     The received build side is sorted ONCE before the chunk scan; each
     chunk then counts against the pre-sorted run (sort the chunk + the
@@ -383,9 +387,11 @@ def _pipelined_probe(
     def local(rka, rva, bkb, bvb, kb, ihb, hot_tbl):
         num_shards = jax.lax.axis_size(SHARD_AXIS)
         k_chunks = num_chunks
-        # (S*C) -> (S, C//K, K): chunk k = ranks congruent to k mod K
-        bkb3 = bkb.reshape(num_shards, cap_b // k_chunks, k_chunks)
-        bvb3 = bvb.reshape(num_shards, cap_b // k_chunks, k_chunks)
+        # (S*C) -> (S, K, C//K): chunk k = k-th contiguous block per bucket.
+        # The chunk axis must NOT be minor: a minor dim of K pads to 128
+        # lanes on TPU (s32[S, C//K, K] allocates 128/K x the data)
+        bkb3 = bkb.reshape(num_shards, k_chunks, cap_b // k_chunks)
+        bvb3 = bvb.reshape(num_shards, k_chunks, cap_b // k_chunks)
 
         def a2a(x):
             return jax.lax.all_to_all(
@@ -415,13 +421,13 @@ def _pipelined_probe(
             def chunk_count(rk, rv):
                 return sort_merge_count(rka, rk, rva, rv)
 
-        first = (a2a(bkb3[:, :, 0]), a2a(bvb3[:, :, 0]))
+        first = (a2a(bkb3[:, 0, :]), a2a(bvb3[:, 0, :]))
 
         def body(carry, k):
             rk, rv = carry
             # prefetch chunk k+1 — independent of this chunk's count
-            next_rk = a2a(jnp.take(bkb3, k + 1, axis=2))
-            next_rv = a2a(jnp.take(bvb3, k + 1, axis=2))
+            next_rk = a2a(jnp.take(bkb3, k + 1, axis=1))
+            next_rv = a2a(jnp.take(bvb3, k + 1, axis=1))
             cnt = chunk_count(rk.reshape(-1), rv.reshape(-1))
             return (next_rk, next_rv), cnt
 

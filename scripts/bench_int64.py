@@ -41,10 +41,11 @@ def main():
     t0 = time.perf_counter()
     # int64 keys spread across the full 64-bit range: key = zipf_id * 2^33
     # + offset - 2^62, so hi and lo planes both carry entropy and no int32
-    # shortcut could answer
-    from partitionedhashjoin_tpu.ops.pallas.generate import zipf_keys_pallas
+    # shortcut could answer.  Pure-XLA rejection sampler: caches reliably
+    # across processes (Pallas custom-call fingerprints do not — bench.py).
+    from partitionedhashjoin_tpu.ops.generators import zipf_keys
 
-    ids32 = zipf_keys_pallas(20260817, n_b, skew, n_a)
+    ids32 = zipf_keys(jax.random.PRNGKey(20260817), n_b, skew, n_a)
     spread = jnp.int64(1) << jnp.int64(33)
     keys_b = ids32.astype(jnp.int64) * spread + jnp.int64(12345) - (
         jnp.int64(1) << jnp.int64(62)
