@@ -130,3 +130,152 @@ def filter_aggregate(table: Table, predicate, seed: int = 0) -> GroupByResult:
         has_valid=True,
     )
     return g, jnp.sum(mask.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Sort-based aggregate: the at-scale GROUP BY path.
+#
+# The hash path above pays ~5 relation-sized scatters plus the dedup claim
+# loop (8.6-11.7 ns/el each, docs/PERFORMANCE.md) — ~15+ s at 200M rows,
+# beyond the single-program watchdog.  Sorting is this chip's cheapest full
+# reorder (2-4 ns/el), and a (valid, key, payload) sort makes every group a
+# contiguous run with its MIN payload first and MAX last, so all four
+# aggregates fall out of ONE sort + prefix scans:
+#
+#   starts S_g  : boundary-flag compaction (one scatter via ops/filter.py)
+#   count       : S_{g+1} - S_g
+#   sum         : cumsum difference cs[E_g] - cs[S_g - 1].  int32 cumsum
+#                 wraps mod 2^32 exactly like the hash path's scatter-add
+#                 accumulation (addition mod 2^32 is associative), so the
+#                 two paths return bit-identical sums even for overflowing
+#                 heavy groups.
+#   min / max   : payload at S_g / E_g (payload is the 3rd sort key)
+#   group keys  : key at S_g
+#
+# Group order is key-ascending (vs the hash path's claim order) — both are
+# valid unordered-GROUP-BY orders; tests compare as key→aggregate maps.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group_capacity", "has_valid", "with_group_of_row")
+)
+def _sort_group_and_aggregate(
+    keys: jax.Array,
+    payloads: jax.Array,
+    group_capacity: int,
+    valid: "jax.Array | None" = None,
+    has_valid: bool = False,
+    with_group_of_row: bool = False,
+) -> GroupByResult:
+    from partitionedhashjoin_tpu.ops.filter import compact
+
+    n = keys.shape[0]
+    if n == 0 or group_capacity == 0:
+        gz = jnp.zeros((group_capacity,), jnp.int32)
+        pz = jnp.zeros((group_capacity,), payloads.dtype)
+        return GroupByResult(
+            keys=gz, count=gz, sum=pz, min=pz, max=pz,
+            num_groups=jnp.asarray(0, jnp.int32),
+            group_of_row=jnp.full((n,), -1, jnp.int32),
+        )
+    inv = (
+        jnp.where(valid, 0, 1).astype(jnp.int32)
+        if has_valid
+        else jnp.zeros((n,), jnp.int32)
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # one unstable multi-key sort; extra operands are nearly free.  Invalid
+    # rows sort to the back, so the valid prefix is contiguous.
+    ops = (inv, keys, payloads) + ((iota,) if with_group_of_row else ())
+    sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=False)
+    inv_s, key_s, pay_s = sorted_ops[:3]
+    valid_s = inv_s == 0
+    n_valid = jnp.sum(valid_s.astype(jnp.int32))
+
+    prev_key = jnp.concatenate([key_s[:1], key_s[:-1]])
+    is_start = valid_s & ((iota == 0) | (key_s != prev_key))
+    num_groups = jnp.sum(is_start.astype(jnp.int32))
+
+    # compact the start positions (the one scatter in this path), then the
+    # group-indexed outputs are G_cap-sized gathers against the sorted runs
+    _, starts_full = compact(is_start, iota)
+    g = jnp.arange(group_capacity, dtype=jnp.int32)
+    g_ok = g < num_groups
+    s_g = jnp.where(g_ok, starts_full[:group_capacity], 0)
+    next_start = jnp.concatenate(
+        [starts_full[1:group_capacity + 1], jnp.zeros((1,), jnp.int32)]
+    )[:group_capacity]
+    e_g = jnp.where(g + 1 < num_groups, next_start, n_valid) - 1
+    e_g = jnp.where(g_ok, e_g, 0)
+
+    cs = jnp.cumsum(pay_s.astype(payloads.dtype))
+    sum_ = cs[e_g] - jnp.where(s_g > 0, cs[jnp.maximum(s_g - 1, 0)], 0)
+    count = e_g - s_g + 1
+    zero_p = jnp.zeros((), payloads.dtype)
+    res = GroupByResult(
+        keys=jnp.where(g_ok, key_s[s_g], 0),
+        count=jnp.where(g_ok, count, 0),
+        sum=jnp.where(g_ok, sum_, zero_p),
+        min=jnp.where(g_ok, pay_s[s_g], zero_p),
+        max=jnp.where(g_ok, pay_s[e_g], zero_p),
+        num_groups=num_groups,
+        group_of_row=jnp.full((n,), -1, jnp.int32),
+    )
+    if with_group_of_row:
+        # dense id of each SORTED row, scattered back to input positions
+        row_iota_s = sorted_ops[3]
+        gid_s = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+        gid_s = jnp.where(valid_s, gid_s, -1)
+        res = dataclasses.replace(
+            res,
+            group_of_row=jnp.zeros((n,), jnp.int32).at[row_iota_s].set(gid_s),
+        )
+    return res
+
+
+def sort_aggregate(
+    table: Table,
+    group_capacity: "int | None" = None,
+    with_group_of_row: bool = False,
+) -> GroupByResult:
+    """GROUP BY via one multi-key sort — the at-scale aggregate path.
+
+    ``group_capacity`` bounds the group-indexed outputs (default: table
+    size).  Exactness contract: ``num_groups`` is always exact; if it
+    exceeds ``group_capacity`` the per-group arrays are truncated and the
+    caller must retry with a larger capacity (the static-capacity +
+    overflow-counter protocol used across the engine).
+    """
+    cap = table.size if group_capacity is None else min(group_capacity, table.size)
+    return _sort_group_and_aggregate(
+        table.keys,
+        table.payloads,
+        cap,
+        with_group_of_row=with_group_of_row,
+    )
+
+
+def filter_sort_aggregate(
+    table: Table,
+    predicate,
+    group_capacity: "int | None" = None,
+    with_group_of_row: bool = False,
+):
+    """Filter → sort-aggregate pipeline (BASELINE.json configs[3] at scale).
+
+    The predicate mask becomes the leading sort key, so filtering fuses
+    into the same sort — no materialized intermediate, like
+    ``filter_aggregate``.  Returns ``(GroupByResult, selected_row_count)``.
+    """
+    mask = predicate(table.keys, table.payloads)
+    cap = table.size if group_capacity is None else min(group_capacity, table.size)
+    g = _sort_group_and_aggregate(
+        table.keys,
+        table.payloads,
+        cap,
+        valid=mask,
+        has_valid=True,
+        with_group_of_row=with_group_of_row,
+    )
+    return g, jnp.sum(mask.astype(jnp.int32))

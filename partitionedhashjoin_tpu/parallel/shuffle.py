@@ -62,32 +62,63 @@ def _owner_shard(keys, seed, num_shards: int):
 def _bucketize(dest, valid, capacity: int, num_shards: int, *columns):
     """Pack rows into (num_shards * capacity) send buckets by destination.
 
-    Stable within destination.  Returns (bucketed_columns..., bucket_valid,
-    dropped_count).  Rows beyond a bucket's capacity are dropped and counted.
+    Returns (bucketed_columns..., bucket_valid, dropped_count).  Rows beyond
+    a bucket's capacity are dropped and counted (any drop triggers a
+    larger-slack retry in the driver, so which rows drop is irrelevant).
+
+    Streaming by design (measured costs, docs/PERFORMANCE.md): one UNstable
+    sort by destination (~2-4 ns/el; extra operands nearly free) makes each
+    destination's rows contiguous, segment boundaries come from a binary
+    search of the S destination ids over the sorted array (O(S log n)
+    gathers), and the spread into capacity-strided buckets is S contiguous
+    ``dynamic_slice``s per column — nothing pays the 8.6-11.7 ns/el
+    scatter cost a per-row placement would.
     """
-    n = dest.shape[0]
-    d = jnp.where(valid, dest, num_shards)  # invalid -> dump partition
+    d = jnp.where(valid, dest, num_shards)  # invalid -> dump segment
     sorted_cols = jax.lax.sort(
-        (d,) + tuple(columns), num_keys=1, is_stable=True
+        (d,) + tuple(columns), num_keys=1, is_stable=False
     )
     d_s, cols_s = sorted_cols[0], sorted_cols[1:]
-    hist = jnp.zeros((num_shards + 1,), jnp.int32).at[d].add(1)
-    offs = jnp.cumsum(hist) - hist
-    rank = jnp.arange(n, dtype=jnp.int32) - offs[d_s]
-    in_bucket = (d_s < num_shards) & (rank < capacity)
-    dst = jnp.where(in_bucket, d_s * capacity + rank, num_shards * capacity)
-    total = num_shards * capacity
-    out_cols = tuple(
-        jnp.zeros((total,), c.dtype).at[dst].set(c, mode="drop")
-        for c in cols_s
-    )
+    # bounds[s] = first sorted position with destination >= s
+    bounds = jnp.searchsorted(
+        d_s, jnp.arange(num_shards + 1, dtype=d_s.dtype)
+    ).astype(jnp.int32)
+    hist = bounds[1:] - bounds[:-1]  # rows per destination (dump excluded)
+
+    def spread(col):
+        # pad so a slice starting at bounds[s] <= n never clamps/shifts
+        col_pad = jnp.concatenate([col, jnp.zeros((capacity,), col.dtype)])
+        return jnp.concatenate(
+            [
+                jax.lax.dynamic_slice(col_pad, (bounds[s],), (capacity,))
+                for s in range(num_shards)
+            ]
+        )
+
+    out_cols = tuple(spread(c) for c in cols_s)
+    rank = jnp.arange(capacity, dtype=jnp.int32)
+    # a bucket slot past its segment's row count holds a neighbouring
+    # segment's row (or pad zeros) — masked invalid here, never read
     bucket_valid = (
-        jnp.zeros((total,), jnp.bool_)
-        .at[dst]
-        .set(jnp.ones((n,), jnp.bool_), mode="drop")
-    )
-    dropped = jnp.sum(((d_s < num_shards) & (rank >= capacity)).astype(jnp.int32))
+        rank[None, :] < jnp.minimum(hist, capacity)[:, None]
+    ).reshape(-1)
+    dropped = jnp.sum(jnp.maximum(hist - capacity, 0))
     return out_cols + (bucket_valid, dropped)
+
+
+def _member_of_small(keys, small_keys, small_valid):
+    """Per-row membership in a tiny key set: a fused broadcast-compare loop
+    (|small| streaming passes over ``keys``) instead of a hashed-gather
+    probe — each XLA gather costs 7.6 ns/row while a fused compare pass is
+    effectively free, so for |small| ≲ 100 this wins by an order of
+    magnitude on relation-sized ``keys``."""
+
+    def body(j, acc):
+        return acc | (small_valid[j] & (keys == small_keys[j]))
+
+    return jax.lax.fori_loop(
+        0, small_keys.shape[0], body, jnp.zeros(keys.shape, jnp.bool_)
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -132,15 +163,10 @@ def _exchange(
         num_shards = jax.lax.axis_size(SHARD_AXIS)
         shard_seed_ = shard_seed[0]
         if use_hot:
-            hot_filter = ht.build_hash_table(
-                hot_keys,
-                hot_seed[0],
-                ht.table_size_for(hot_keys.shape[0]),
-                valid=hot_valid,
-                has_valid=True,
-            )
-            is_hot_a = ht.probe_exists(hot_filter, keys_a)
-            is_hot_b = ht.probe_exists(hot_filter, keys_b)
+            # hot plan sets are <= hot_capacity keys: fused compare passes
+            # beat a hashed-gather probe by ~10x on relation-sized inputs
+            is_hot_a = _member_of_small(keys_a, hot_keys, hot_valid)
+            is_hot_b = _member_of_small(keys_b, hot_keys, hot_valid)
         else:
             is_hot_a = jnp.zeros(keys_a.shape, jnp.bool_)
             is_hot_b = jnp.zeros(keys_b.shape, jnp.bool_)
@@ -255,7 +281,7 @@ def _build_local_tables(mesh: Mesh, recv_keys_a, recv_valid_a, bucket_seed, tabl
     )(recv_keys_a, recv_valid_a, jnp.reshape(bucket_seed, (1,)))
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "use_hot", "hot_table_size"))
+@functools.partial(jax.jit, static_argnames=("mesh", "use_hot"))
 def _probe_and_count(
     mesh: Mesh,
     slot_keys,
@@ -266,19 +292,19 @@ def _probe_and_count(
     recv_valid_b,
     keys_b,
     is_hot_b,
-    hot_keys_a,
-    hot_valid_a,
-    hot_build_seed,
+    hot_plan_keys,
+    hot_plan_valid,
+    hot_repl_keys,
+    hot_repl_valid,
     use_hot: bool,
-    hot_table_size: int,
 ):
-    """Probe phase: cold rows vs local table, hot rows vs replicated hot
-    table; psum for the global count (HashJoin.hpp:156's atomic analogue)."""
-    hot_table = _hot_table_or_placeholder(
-        use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
+    """Probe phase: cold rows vs local table, hot rows vs the effective hot
+    plan set; psum for the global count (HashJoin.hpp:156's atomic analogue)."""
+    eff_valid = _effective_hot_valid(
+        use_hot, hot_plan_keys, hot_plan_valid, hot_repl_keys, hot_repl_valid
     )
 
-    def local(slot_keys, slot_rows, max_probe, seed, rkb, rvb, kb, ihb, hot_tbl):
+    def local(slot_keys, slot_rows, max_probe, seed, rkb, rvb, kb, ihb, hpk, hpv):
         table = ht.HashTable(
             slot_keys=slot_keys,
             slot_rows=slot_rows,
@@ -288,7 +314,7 @@ def _probe_and_count(
         found_cold = ht.probe_exists(table, rkb, valid=rvb)
         count = jnp.sum(found_cold.astype(jnp.int32))
         if use_hot:
-            found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
+            found_hot = ihb & _member_of_small(kb, hpk, hpv)
             count = count + jnp.sum(found_hot.astype(jnp.int32))
         return jnp.reshape(jax.lax.psum(count, SHARD_AXIS), (1,))
 
@@ -296,7 +322,7 @@ def _probe_and_count(
     out = _shard_map(
         local,
         mesh=mesh,
-        in_specs=(sh, sh, sh, P(), sh, sh, sh, sh, P()),
+        in_specs=(sh, sh, sh, P(), sh, sh, sh, sh, P(), P()),
         out_specs=P(),
         check_vma=False,
     )(
@@ -308,36 +334,32 @@ def _probe_and_count(
         recv_valid_b,
         keys_b,
         is_hot_b,
-        hot_table,
+        hot_plan_keys,
+        eff_valid,
     )
     return out[0]
 
 
 
-def _hot_table_or_placeholder(
-    use_hot: bool, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size: int
-) -> ht.HashTable:
-    """The replicated hot-key build table, or a 1-slot placeholder keeping
-    shard_map arity static when skew handling is off."""
-    if use_hot:
-        return ht.build_hash_table(
-            hot_keys_a,
-            hot_build_seed,
-            hot_table_size,
-            valid=hot_valid_a,
-            has_valid=True,
-        )
-    return ht.HashTable(
-        slot_keys=jnp.zeros((1,), jnp.int32),
-        slot_rows=jnp.full((1,), -1, jnp.int32),
-        max_probe=jnp.asarray(0, jnp.int32),
-        seed=jnp.asarray(0, jnp.uint32),
-    )
+def _effective_hot_valid(
+    use_hot: bool, hot_plan_keys, hot_plan_valid, hot_repl_keys, hot_repl_valid
+):
+    """Validity mask of the hot PLAN keys that actually have a replicated
+    hot build row.  Probe-side membership against this masked plan set
+    equals membership in the replicated hot build table (every replicated
+    row's key is a plan key), so the hot probe needs no hash table at all —
+    just |plan| fused compare passes (_member_of_small)."""
+    if not use_hot:
+        return jnp.zeros(hot_plan_keys.shape, jnp.bool_)
+    present = jax.vmap(
+        lambda k: jnp.any(hot_repl_valid & (hot_repl_keys == k))
+    )(hot_plan_keys)
+    return hot_plan_valid & present
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "cap_b", "use_hot", "hot_table_size", "num_chunks"),
+    static_argnames=("mesh", "cap_b", "use_hot", "num_chunks"),
 )
 def _pipelined_probe(
     mesh: Mesh,
@@ -347,12 +369,12 @@ def _pipelined_probe(
     bucket_valid_b,
     keys_b,
     is_hot_b,
-    hot_keys_a,
-    hot_valid_a,
-    hot_build_seed,
+    hot_plan_keys,
+    hot_plan_valid,
+    hot_repl_keys,
+    hot_repl_valid,
     cap_b: int,
     use_hot: bool,
-    hot_table_size: int,
     num_chunks: int,
 ):
     """Probe with the B exchange split into round-robin chunks and software-
@@ -378,13 +400,13 @@ def _pipelined_probe(
     from partitionedhashjoin_tpu.ops import merge_join
     from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
-    hot_table = _hot_table_or_placeholder(
-        use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
+    eff_valid = _effective_hot_valid(
+        use_hot, hot_plan_keys, hot_plan_valid, hot_repl_keys, hot_repl_valid
     )
     use_kernel = merge_join.supported()
     i32_max = jnp.iinfo(jnp.int32).max
 
-    def local(rka, rva, bkb, bvb, kb, ihb, hot_tbl):
+    def local(rka, rva, bkb, bvb, kb, ihb, hpk, hpv):
         num_shards = jax.lax.axis_size(SHARD_AXIS)
         k_chunks = num_chunks
         # (S*C) -> (S, K, C//K): chunk k = k-th contiguous block per bucket.
@@ -440,7 +462,7 @@ def _pipelined_probe(
             last_rk.reshape(-1), last_rv.reshape(-1)
         )
         if use_hot:
-            found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
+            found_hot = ihb & _member_of_small(kb, hpk, hpv)
             count = count + jnp.sum(found_hot.astype(jnp.int32))
         return jnp.reshape(jax.lax.psum(count, SHARD_AXIS), (1,))
 
@@ -448,7 +470,7 @@ def _pipelined_probe(
     out = _shard_map(
         local,
         mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, sh, P()),
+        in_specs=(sh, sh, sh, sh, sh, sh, P(), P()),
         out_specs=P(),
         check_vma=False,
     )(
@@ -458,12 +480,13 @@ def _pipelined_probe(
         bucket_valid_b,
         keys_b,
         is_hot_b,
-        hot_table,
+        hot_plan_keys,
+        eff_valid,
     )
     return out[0]
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "use_hot", "hot_table_size"))
+@functools.partial(jax.jit, static_argnames=("mesh", "use_hot"))
 def _sort_merge_local_count(
     mesh: Mesh,
     recv_keys_a,
@@ -472,11 +495,11 @@ def _sort_merge_local_count(
     recv_valid_b,
     keys_b,
     is_hot_b,
-    hot_keys_a,
-    hot_valid_a,
-    hot_build_seed,
+    hot_plan_keys,
+    hot_plan_valid,
+    hot_repl_keys,
+    hot_repl_valid,
     use_hot: bool,
-    hot_table_size: int,
 ):
     """Fused local join: per-shard sort-merge count over received cold rows
     (the gather-free path, ops/sort_merge.py) + hot probe, psum'd.
@@ -488,18 +511,18 @@ def _sort_merge_local_count(
     from partitionedhashjoin_tpu.ops import merge_join
     from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
-    hot_table = _hot_table_or_placeholder(
-        use_hot, hot_keys_a, hot_valid_a, hot_build_seed, hot_table_size
+    eff_valid = _effective_hot_valid(
+        use_hot, hot_plan_keys, hot_plan_valid, hot_repl_keys, hot_repl_valid
     )
     use_kernel = merge_join.supported()
 
-    def local(rka, rva, rkb, rvb, kb, ihb, hot_tbl):
+    def local(rka, rva, rkb, rvb, kb, ihb, hpk, hpv):
         if use_kernel:
             count = merge_join.two_run_count(rka, rkb, rva, rvb)
         else:
             count = sort_merge_count(rka, rkb, rva, rvb)
         if use_hot:
-            found_hot = ht.probe_exists(hot_tbl, kb, valid=ihb)
+            found_hot = ihb & _member_of_small(kb, hpk, hpv)
             count = count + jnp.sum(found_hot.astype(jnp.int32))
         return jnp.reshape(jax.lax.psum(count, SHARD_AXIS), (1,))
 
@@ -507,7 +530,7 @@ def _sort_merge_local_count(
     out = _shard_map(
         local,
         mesh=mesh,
-        in_specs=(sh, sh, sh, sh, sh, sh, P()),
+        in_specs=(sh, sh, sh, sh, sh, sh, P(), P()),
         out_specs=P(),
         check_vma=False,
     )(
@@ -517,7 +540,8 @@ def _sort_merge_local_count(
         recv_valid_b,
         keys_b,
         is_hot_b,
-        hot_table,
+        hot_plan_keys,
+        eff_valid,
     )
     return out[0]
 
@@ -709,12 +733,12 @@ class DistributedShuffleJoiner:
                     rv_b,
                     table_b.keys,
                     is_hot_b,
+                    hot_keys,
+                    hot_valid,
                     hk,
                     hv,
-                    self._hot_seed,
                     cap_b,
                     use_hot,
-                    ht.table_size_for(hk.shape[0]),
                     self._pipeline_chunks,
                 )
                 count = int(jax.device_get(count))
@@ -732,11 +756,11 @@ class DistributedShuffleJoiner:
                     rv_b,
                     table_b.keys,
                     is_hot_b,
+                    hot_keys,
+                    hot_valid,
                     hk,
                     hv,
-                    self._hot_seed,
                     use_hot,
-                    ht.table_size_for(hk.shape[0]),
                 )
                 count = int(jax.device_get(count))
                 timer.set_probe_phase_end()
@@ -760,11 +784,11 @@ class DistributedShuffleJoiner:
                     rv_b,
                     table_b.keys,
                     is_hot_b,
+                    hot_keys,
+                    hot_valid,
                     hk,
                     hv,
-                    self._hot_seed,
                     use_hot,
-                    ht.table_size_for(hk.shape[0]),
                 )
                 count = int(jax.device_get(count))
                 timer.set_probe_phase_end()

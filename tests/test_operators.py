@@ -188,3 +188,118 @@ class TestFilterAggregate:
         g, count = filter_aggregate(t, lambda k, p: k < 0, seed=2)
         assert int(count) == 0 and int(g.num_groups) == 0
         assert (np.asarray(g.group_of_row) == -1).all()
+
+
+class TestSortAggregate:
+    """Sort-based GROUP BY (the at-scale path) vs numpy and the hash path."""
+
+    def _oracle_check(self, g, keys, pay, sel=None):
+        sel = np.ones(len(keys), bool) if sel is None else sel
+        num = int(g.num_groups)
+        uniq = np.unique(keys[sel])
+        assert num == len(uniq)
+        gk = np.asarray(g.keys)[:num]
+        # sort path emits groups in ascending key order
+        np.testing.assert_array_equal(gk, uniq)
+        for i, k in enumerate(gk):
+            m = sel & (keys == k)
+            assert int(g.count[i]) == m.sum()
+            assert int(g.sum[i]) == pay[m].sum()
+            assert int(g.min[i]) == pay[m].min()
+            assert int(g.max[i]) == pay[m].max()
+
+    def test_matches_numpy(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        rng = np.random.default_rng(11)
+        keys = rng.integers(0, 37, 4000).astype(np.int32)
+        pay = rng.integers(-100, 100, 4000).astype(np.int32)
+        g = sort_aggregate(make_table(keys, pay))
+        self._oracle_check(g, keys, pay)
+
+    def test_matches_hash_path_bit_exact_sums(self):
+        # int32 sums must be bit-identical to scatter-add accumulation,
+        # including wraparound-heavy groups (both are sums mod 2^32)
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        rng = np.random.default_rng(12)
+        keys = rng.integers(0, 5, 3000).astype(np.int32)
+        pay = rng.integers(2**30, 2**31 - 1, 3000).astype(np.int32)
+        gs = sort_aggregate(make_table(keys, pay))
+        gh = hash_aggregate(make_table(keys, pay), seed=3)
+        ns, nh = int(gs.num_groups), int(gh.num_groups)
+        assert ns == nh
+        hk = np.asarray(gh.keys)[:nh]
+        order = np.argsort(hk, kind="stable")
+        np.testing.assert_array_equal(np.asarray(gs.keys)[:ns], hk[order])
+        np.testing.assert_array_equal(
+            np.asarray(gs.sum)[:ns], np.asarray(gh.sum)[:nh][order]
+        )
+
+    def test_group_capacity_truncates_but_num_groups_exact(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        keys = np.arange(100, dtype=np.int32)
+        g = sort_aggregate(
+            make_table(keys, keys), group_capacity=10
+        )
+        assert int(g.num_groups) == 100  # exact despite truncation
+        assert g.keys.shape[0] == 10
+
+    def test_group_of_row(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        rng = np.random.default_rng(13)
+        keys = rng.integers(0, 9, 500).astype(np.int32)
+        g = sort_aggregate(
+            make_table(keys, keys), with_group_of_row=True
+        )
+        num = int(g.num_groups)
+        gk = np.asarray(g.keys)[:num]
+        gid = np.asarray(g.group_of_row)
+        assert (gid >= 0).all()
+        np.testing.assert_array_equal(gk[gid], keys)
+
+    def test_filter_fused(self):
+        from partitionedhashjoin_tpu.ops.aggregate import filter_sort_aggregate
+
+        rng = np.random.default_rng(14)
+        keys = rng.integers(0, 40, 3000).astype(np.int32)
+        pay = rng.integers(-50, 50, 3000).astype(np.int32)
+        g, count = filter_sort_aggregate(
+            make_table(keys, pay), lambda k, p: p > 0,
+            with_group_of_row=True,
+        )
+        sel = pay > 0
+        assert int(count) == sel.sum()
+        self._oracle_check(g, keys, pay, sel)
+        gid = np.asarray(g.group_of_row)
+        assert (gid[~sel] == -1).all()
+        gk = np.asarray(g.keys)[: int(g.num_groups)]
+        np.testing.assert_array_equal(gk[gid[sel]], keys[sel])
+
+    def test_all_filtered_and_empty(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate,
+            sort_aggregate,
+        )
+
+        t = make_table(
+            np.arange(64, dtype=np.int32), np.arange(64, dtype=np.int32)
+        )
+        g, count = filter_sort_aggregate(t, lambda k, p: k < 0)
+        assert int(count) == 0 and int(g.num_groups) == 0
+        t0 = make_table(
+            np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+        )
+        g0 = sort_aggregate(t0)
+        assert int(g0.num_groups) == 0
+
+    def test_zipf_heavy_groups(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        b = zipf_table(20_000, alpha=1.25, key_range=(1, 500), seed=4)
+        keys = np.asarray(b.keys)
+        pay = np.asarray(b.payloads)
+        g = sort_aggregate(make_table(keys, pay))
+        self._oracle_check(g, keys, pay)
