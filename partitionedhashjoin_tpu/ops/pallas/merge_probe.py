@@ -236,39 +236,44 @@ def ranged_merge_count_prepared(
     prev_valid = (gpos > 0).astype(jnp.int32)
     prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
 
-    count = pl.pallas_call(
-        _ranged_count_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
-            grid=(w_cap,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
-                pl.BlockSpec(
-                    (BLOCK_ROWS, LANES),
-                    # consecutive work items usually share a probe block;
-                    # the pipeline skips re-fetching an unchanged block
-                    lambda w, blk_ref, *_: (blk_ref[w], 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, SUBL, LANES), jnp.int32),  # double buffer
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
-        interpret=interpret,
-    )(
-        blk,
-        tile_w,
-        len_w,
-        prev_last,
-        prev_valid,
-        tiles,
-        b_pad.reshape(BLOCK_ROWS * num_blocks, LANES),
-    )[0]
+    # trace with x64 canonicalization off — see ranged_merge_count_i64:
+    # Mosaic rejects the int64 take_along_axis indices x64 mode introduces
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        count = pl.pallas_call(
+            _ranged_count_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(w_cap,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),  # tiles stay in HBM
+                    pl.BlockSpec(
+                        (BLOCK_ROWS, LANES),
+                        # consecutive work items usually share a probe block;
+                        # the pipeline skips re-fetching an unchanged block
+                        lambda w, blk_ref, *_: (blk_ref[w], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, SUBL, LANES), jnp.int32),  # double buffer
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SMEM((1,), jnp.int32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+            interpret=interpret,
+        )(
+            blk,
+            tile_w,
+            len_w,
+            prev_last,
+            prev_valid,
+            tiles,
+            b_pad.reshape(BLOCK_ROWS * num_blocks, LANES),
+        )[0]
 
     if exclude_int32_max:
         # ranges exclude the INT32_MAX region entirely, so neither probe
@@ -431,48 +436,56 @@ def ranged_merge_count_i64(
     plast_h, plast_l = split_i64(prev)
     bh, bl = split_i64(b_pad)
 
-    count = pl.pallas_call(
-        _ranged_count_kernel_i64,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
-            grid=(w_cap,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (BLOCK_ROWS, LANES),
-                    lambda w, blk_ref, *_: (blk_ref[w], 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (BLOCK_ROWS, LANES),
-                    lambda w, blk_ref, *_: (blk_ref[w], 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-            scratch_shapes=[
-                pltpu.VMEM((SUBL, LANES), jnp.int32),
-                pltpu.VMEM((SUBL, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
-        interpret=interpret,
-    )(
-        blk,
-        tile_w,
-        len_w,
-        plast_h,
-        plast_l,
-        prev_valid,
-        tiles_h,
-        tiles_l,
-        bh.reshape(BLOCK_ROWS * num_blocks, LANES),
-        bl.reshape(BLOCK_ROWS * num_blocks, LANES),
-    )[0]
+    # Trace the kernel with x64 canonicalization OFF: every operand is an
+    # int32 plane, but under global x64 ``take_along_axis`` canonicalizes
+    # its indices to int64, which Mosaic cannot lower ("64-bit types are
+    # not supported").  The State config is a context manager; tracing
+    # happens inside it, runtime values are unaffected (all int32).
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        count = pl.pallas_call(
+            _ranged_count_kernel_i64,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=6,
+                grid=(w_cap,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (BLOCK_ROWS, LANES),
+                        lambda w, blk_ref, *_: (blk_ref[w], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (BLOCK_ROWS, LANES),
+                        lambda w, blk_ref, *_: (blk_ref[w], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((SUBL, LANES), jnp.int32),
+                    pltpu.VMEM((SUBL, LANES), jnp.int32),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SMEM((1,), jnp.int32),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+            interpret=interpret,
+        )(
+            blk,
+            tile_w,
+            len_w,
+            plast_h,
+            plast_l,
+            prev_valid,
+            tiles_h,
+            tiles_l,
+            bh.reshape(BLOCK_ROWS * num_blocks, LANES),
+            bl.reshape(BLOCK_ROWS * num_blocks, LANES),
+        )[0]
 
     n_pad = padded_b - n_b
     max_in_a = a64[n_a - 1] == i64_max
