@@ -43,7 +43,6 @@ def supported() -> bool:
     return merge_count.supported()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def two_run_count(
     build_keys: jax.Array,
     probe_keys: jax.Array,
@@ -57,7 +56,35 @@ def two_run_count(
     Equivalent to ops/sort_merge.py::sort_merge_count; this is the kernel
     path.  int64 keys take the sort-merge fallback (the Mosaic kernel is
     32-bit; ops/sort_merge.py handles 64-bit under x64).
+
+    In an x64 process the whole (all-int32) jit runs under x64-off:
+    Mosaic's lowering re-traces reductions under the global dtype config
+    and rejects the 64-bit converts that sneak in (see merge_probe).
     """
+    if jax.config.jax_enable_x64:
+        from jax._src.config import enable_x64 as _enable_x64
+
+        with _enable_x64(False):
+            return _two_run_count(
+                jnp.asarray(build_keys, jnp.int32),
+                jnp.asarray(probe_keys, jnp.int32),
+                build_valid,
+                probe_valid,
+                interpret=interpret,
+            )
+    return _two_run_count(
+        build_keys, probe_keys, build_valid, probe_valid, interpret=interpret
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _two_run_count(
+    build_keys: jax.Array,
+    probe_keys: jax.Array,
+    build_valid=None,
+    probe_valid=None,
+    interpret: bool = False,
+) -> jax.Array:
     build_keys = jnp.asarray(build_keys, jnp.int32)
     probe_keys = jnp.asarray(probe_keys, jnp.int32)
     if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
@@ -104,7 +131,15 @@ def sorted_runs_count(
     return merge_probe.ranged_merge_count(a_sorted, b_sorted, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@jax.jit
+def _sort_i64(build_keys: jax.Array, probe_keys: jax.Array):
+    a = jax.lax.sort((jnp.asarray(build_keys, jnp.int64),), num_keys=1,
+                     is_stable=False)[0]
+    b = jax.lax.sort((jnp.asarray(probe_keys, jnp.int64),), num_keys=1,
+                     is_stable=False)[0]
+    return a, b
+
+
 def two_run_count_i64(
     build_keys: jax.Array,
     probe_keys: jax.Array,
@@ -112,13 +147,14 @@ def two_run_count_i64(
 ) -> jax.Array:
     """int64-key two-run count join (requires x64 mode): one unstable sort
     per relation + the hi/lo-plane kernel (merge_probe.ranged_merge_count_i64).
-    The reference's Tuple::id is int64 (src/Common/Table.hpp:20-25)."""
-    build_keys = jnp.asarray(build_keys, jnp.int64)
-    probe_keys = jnp.asarray(probe_keys, jnp.int64)
+    The reference's Tuple::id is int64 (src/Common/Table.hpp:20-25).
+
+    NOT one fused jit: the kernel must lower in an x64-off jit (see
+    merge_probe._prep_i64), so this composes three program dispatches —
+    the x64 sorts, the x64 prep, and the int32 kernel."""
     if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
         return jnp.asarray(0, jnp.int32)
-    a_sorted = jax.lax.sort((build_keys,), num_keys=1, is_stable=False)[0]
-    b_sorted = jax.lax.sort((probe_keys,), num_keys=1, is_stable=False)[0]
+    a_sorted, b_sorted = _sort_i64(build_keys, probe_keys)
     return merge_probe.ranged_merge_count_i64(
         a_sorted, b_sorted, interpret=interpret
     )

@@ -375,21 +375,16 @@ def _ranged_count_kernel_i64(
         out_ref[0] = acc_ref[0]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def ranged_merge_count_i64(
-    a_sorted: jax.Array,
-    b_sorted: jax.Array,
-    interpret: bool = False,
-) -> jax.Array:
-    """int64 variant of ``ranged_merge_count`` (requires x64 inputs).
-
-    Same algorithm; keys travel as (hi, lo) int32 plane pairs.  Padding is
-    INT64_MAX, corrected like the int32 path.
-    """
+@jax.jit
+def _prep_i64(a_sorted: jax.Array, b_sorted: jax.Array):
+    """x64 half of the int64 count: plane splits, tiling, and the work
+    list.  Everything 64-bit happens here; every output is int32 so the
+    kernel half can trace, LOWER, and compile under x64-off (Mosaic's
+    lowering re-traces reductions under the *global* dtype config, so the
+    pallas_call must live in a jit that never sees x64 — a trace-scope
+    guard alone is not enough)."""
     n_a = a_sorted.shape[0]
     n_b = b_sorted.shape[0]
-    if n_a == 0 or n_b == 0:
-        return jnp.asarray(0, jnp.int32)
     i64_max = jnp.iinfo(jnp.int64).max
     a64 = a_sorted.astype(jnp.int64)
     b64 = b_sorted.astype(jnp.int64)
@@ -436,15 +431,47 @@ def ranged_merge_count_i64(
     plast_h, plast_l = split_i64(prev)
     bh, bl = split_i64(b_pad)
 
-    # Trace the kernel with x64 canonicalization OFF: every operand is an
-    # int32 plane, but under global x64 ``take_along_axis`` canonicalizes
-    # its indices to int64, which Mosaic cannot lower ("64-bit types are
-    # not supported").  The State config is a context manager; tracing
-    # happens inside it, runtime values are unaffected (all int32).
-    from jax._src.config import enable_x64 as _enable_x64
+    # probe-padding correction: padded INT64_MAX rows matched iff INT64_MAX
+    # is a genuine build key (== the build maximum, since sorted)
+    n_pad = padded_b - n_b
+    pad_correction = jnp.where(
+        a64[n_a - 1] == i64_max, n_pad, 0
+    ).astype(jnp.int32)
+    return (
+        blk,
+        tile_w,
+        len_w,
+        plast_h,
+        plast_l,
+        prev_valid,
+        tiles_h,
+        tiles_l,
+        bh.reshape(BLOCK_ROWS * num_blocks, LANES),
+        bl.reshape(BLOCK_ROWS * num_blocks, LANES),
+        pad_correction,
+    )
 
-    with _enable_x64(False):
-        count = pl.pallas_call(
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _count_i64_planes(
+    blk,
+    tile_w,
+    len_w,
+    plast_h,
+    plast_l,
+    prev_valid,
+    tiles_h,
+    tiles_l,
+    bh_rows,
+    bl_rows,
+    pad_correction,
+    interpret: bool = False,
+) -> jax.Array:
+    """int32-only kernel half of the int64 count — every input is an int32
+    plane from ``_prep_i64``; the caller invokes this under x64-off so
+    Mosaic lowering never sees a 64-bit type."""
+    w_cap = blk.shape[0]
+    count = pl.pallas_call(
             _ranged_count_kernel_i64,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=6,
@@ -483,10 +510,27 @@ def ranged_merge_count_i64(
             prev_valid,
             tiles_h,
             tiles_l,
-            bh.reshape(BLOCK_ROWS * num_blocks, LANES),
-            bl.reshape(BLOCK_ROWS * num_blocks, LANES),
+            bh_rows,
+            bl_rows,
         )[0]
+    return count - pad_correction
 
-    n_pad = padded_b - n_b
-    max_in_a = a64[n_a - 1] == i64_max
-    return count - jnp.where(max_in_a, n_pad, 0)
+
+def ranged_merge_count_i64(
+    a_sorted: jax.Array,
+    b_sorted: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """int64 variant of ``ranged_merge_count`` (requires x64 inputs).
+
+    Same algorithm; keys travel as (hi, lo) int32 plane pairs.  Padding is
+    INT64_MAX, corrected like the int32 path.  Two jits: the x64 prep and
+    the x64-off kernel — see ``_prep_i64`` for why the split is load-bearing.
+    """
+    if a_sorted.shape[0] == 0 or b_sorted.shape[0] == 0:
+        return jnp.asarray(0, jnp.int32)
+    operands = _prep_i64(a_sorted, b_sorted)
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        return _count_i64_planes(*operands, interpret=interpret)
