@@ -64,6 +64,14 @@ def make_joiner(name: str, seed: int):
         from partitionedhashjoin_tpu.ops.sort_merge import SortMergeJoiner
 
         return SortMergeJoiner()
+    if name == "planned":
+        # stats-driven planner (ops/planner.py).  NOT in the default algo
+        # list: on this workload its dense-build interval plan collapses
+        # the probe to one streaming pass, which measures the planner, not
+        # the general join.  Run via PHJ_BENCH_ALGOS=planned.
+        from partitionedhashjoin_tpu.ops.planner import PlannedJoiner
+
+        return PlannedJoiner()
     if name == "no-partitioning":
         from partitionedhashjoin_tpu.ops.no_partitioning import (
             NoPartitioningHashJoiner,

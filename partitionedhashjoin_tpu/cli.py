@@ -8,7 +8,8 @@ mirror parseArguments (main.cpp:144-186):
     --output --filename
 
 Engine extensions: ``--join sort-merge`` (the flagship single-chip joiner,
-ops/sort_merge.py) and ``--join shuffle`` (the mesh-distributed joiner,
+ops/sort_merge.py), ``--join planned`` (stats-driven plan selection,
+ops/planner.py) and ``--join shuffle`` (the mesh-distributed joiner,
 parallel/shuffle.py, with ``--shards``); ``--output stdout``; ``--seed`` for
 reproducible data generation (the reference seeds from random_device,
 src/Common/Random.cpp:32-41).
@@ -43,7 +44,13 @@ from partitionedhashjoin_tpu.utils.results import (
 
 #: Extended join selector values (the reference knows only the first two,
 #: src/Common/Configuration.cpp:4-40).
-JOIN_CHOICES = ("no-partitioning", "radix-partitioning", "sort-merge", "shuffle")
+JOIN_CHOICES = (
+    "no-partitioning",
+    "radix-partitioning",
+    "sort-merge",
+    "shuffle",
+    "planned",
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -232,6 +239,11 @@ def run_join(
 
         params.set_parameter("Type", "SortMerge")
         joiner = SortMergeJoiner()
+    elif join_name == "planned":
+        from partitionedhashjoin_tpu.ops.planner import PlannedJoiner
+
+        params.set_parameter("Type", "Planned")
+        joiner = PlannedJoiner()
     elif join_name == "shuffle":
         from partitionedhashjoin_tpu.parallel.mesh import make_mesh, shard_table
         from partitionedhashjoin_tpu.parallel.shuffle import (
@@ -256,6 +268,9 @@ def run_join(
         # one-time XLA compilation (the C++ reference has no JIT to exclude)
         joiner.run(table_a, table_b)
     count = joiner.run(table_a, table_b, timer)
+    if join_name == "planned":
+        # observability: which plan the stats routed to (interval/kernel/…)
+        params.set_parameter("Plan", joiner.last_plan or "")
     log.info("Join produced %d matches", count)
     return timer.get_result()
 

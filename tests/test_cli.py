@@ -58,6 +58,18 @@ def test_sort_merge_and_unit_seconds(tmp_path):
     assert int(doc["results"]["probe"]) <= 60  # seconds, not ms
 
 
+def test_planned_join_records_plan(tmp_path):
+    doc = _run(
+        tmp_path,
+        ["--primary", "4096", "--secondary", "16384", "--seed", "5",
+         "--join", "planned", "--log", "error"],
+    )
+    assert doc["parameters"]["Type"] == "Planned"
+    # sequential primary relation => dense => the interval plan
+    assert doc["parameters"]["Plan"] == "interval"
+    assert set(doc["results"]) == {"partition", "build", "probe"}
+
+
 def test_shuffle_join_records_shards(tmp_path):
     doc = _run(
         tmp_path,

@@ -16,6 +16,7 @@ from partitionedhashjoin_tpu.config import RadixClusteringConfiguration
 from partitionedhashjoin_tpu.data import host_loader
 from partitionedhashjoin_tpu.data.table import make_table
 from partitionedhashjoin_tpu.ops.no_partitioning import NoPartitioningHashJoiner
+from partitionedhashjoin_tpu.ops.planner import PlannedJoiner
 from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
 from partitionedhashjoin_tpu.ops.sort_merge import SortMergeJoiner
 from partitionedhashjoin_tpu.parallel.mesh import make_mesh, shard_table
@@ -66,5 +67,6 @@ def test_all_paths_agree(mesh8, case):
         "shuffle-pipelined": DistributedShuffleJoiner(
             mesh8, seed=seed + 5, pipeline_chunks=2
         ).run(shard_table(a, mesh8), shard_table(b, mesh8)),
+        "planned": PlannedJoiner().run(a, b),
     }
     assert len(set(counts.values())) == 1, counts
