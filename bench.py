@@ -157,6 +157,7 @@ def main() -> None:
         log(f"  on-device rejection sampler: {time.perf_counter() - t1:.1f}s")
     except Exception as e:  # noqa: BLE001 - fall back, don't fail the bench
         log(f"  rejection sampler failed ({type(e).__name__}); alias path")
+        ids = None  # the failure usually surfaces at sync(), after assignment
     if ids is None and n_a <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 

@@ -171,12 +171,34 @@ def _sort_group_and_aggregate(
     from partitionedhashjoin_tpu.ops.filter import compact
 
     n = keys.shape[0]
-    if n == 0 or group_capacity == 0:
+    if n == 0:
         gz = jnp.zeros((group_capacity,), jnp.int32)
         pz = jnp.zeros((group_capacity,), payloads.dtype)
         return GroupByResult(
             keys=gz, count=gz, sum=pz, min=pz, max=pz,
             num_groups=jnp.asarray(0, jnp.int32),
+            group_of_row=jnp.full((n,), -1, jnp.int32),
+        )
+    if group_capacity == 0:
+        # num_groups stays EXACT (the capacity-overflow retry contract —
+        # round-2 review: returning 0 here made 'num_groups <= capacity'
+        # read as complete): count distinct valid keys, return no groups.
+        inv = (
+            jnp.where(valid, 0, 1).astype(jnp.int32)
+            if has_valid
+            else jnp.zeros((n,), jnp.int32)
+        )
+        inv_s, key_s = jax.lax.sort((inv, keys), num_keys=2, is_stable=False)
+        valid_s = inv_s == 0
+        prev_key = jnp.concatenate([key_s[:1], key_s[:-1]])
+        is_start = valid_s & (
+            (jnp.arange(n, dtype=jnp.int32) == 0) | (key_s != prev_key)
+        )
+        gz = jnp.zeros((0,), jnp.int32)
+        pz = jnp.zeros((0,), payloads.dtype)
+        return GroupByResult(
+            keys=gz, count=gz, sum=pz, min=pz, max=pz,
+            num_groups=jnp.sum(is_start.astype(jnp.int32)),
             group_of_row=jnp.full((n,), -1, jnp.int32),
         )
     inv = (

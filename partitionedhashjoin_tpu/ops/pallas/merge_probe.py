@@ -160,6 +160,72 @@ def _ranged_count_kernel(
         out_ref[0] = acc_ref[0]
 
 
+def _work_items(run_start, lo, hi, n_tiles: int, num_blocks: int):
+    """Static-capacity (block, tile) work list: for each probe block, every
+    tile holding a key-run START inside the block's build range [lo_b, hi_b).
+
+    An element is only ever COUNTED in the tile where its key's run starts
+    (the ``q > prev_last`` dedup in the kernel), so tiles that are pure
+    interior of a duplicate run contribute nothing and are skipped.  That
+    is what makes the static capacity PROVABLE — enumerating every tile of
+    [lo_b, hi_b) (the round-2 original) is unbounded under duplication: a
+    run spanning T tiles was scanned T times by every block touching it,
+    and items beyond w_cap were silently dropped (undercount; caught in
+    round-2 review).
+
+    Bound proof for w_cap = 2*num_blocks + n_tiles: each block emits one
+    item for tile(lo_b) (num_blocks total).  Every further item consumes a
+    distinct F_t := first-run-start-position of tile t with lo_b < F_t <
+    hi_b.  Block position ranges [lo_b, hi_b) of a sorted probe overlap
+    only within the boundary key's duplicate run, which contains no run
+    start except possibly lo_{b+1} itself (excluded by the strict >), so
+    each F_t is claimed by at most one block: <= n_tiles extra items, plus
+    the per-block item — comfortably under w_cap.
+
+    ``run_start``: bool[n_tiles*CAP] — True where a sorted key differs from
+    its predecessor (padding included; harmless, range-excluded).
+    Returns (blk, tile_w, len_w) int32[w_cap]; len_w == 0 marks no-ops.
+    """
+    w_cap = 2 * num_blocks + n_tiles
+    pos = jnp.arange(n_tiles * CAP, dtype=jnp.int32)
+    # first run-start position per tile (sentinel INT32_MAX: none)
+    f_t = jnp.min(
+        jnp.where(run_start, pos, _I32_MAX).reshape(n_tiles, CAP), axis=1
+    )
+    # ascending among valid entries (positions grow with t); sort pushes
+    # the sentinels of run-interior tiles to the tail
+    f_sorted = jnp.sort(f_t)
+    first_tile = jax.lax.div(lo, jnp.int32(CAP))
+    # F entries strictly after lo_b AND in a tile beyond tile(lo_b) — the
+    # tile(lo_b) item below would otherwise be emitted twice (double count)
+    j_lo = jnp.maximum(
+        jnp.searchsorted(f_sorted, lo, side="right").astype(jnp.int32),
+        jnp.searchsorted(
+            f_sorted, (first_tile + 1) * CAP, side="left"
+        ).astype(jnp.int32),
+    )
+    j_hi = jnp.searchsorted(f_sorted, hi, side="left").astype(jnp.int32)
+    ntiles = 1 + jnp.maximum(j_hi - j_lo, 0)
+
+    offs = jnp.cumsum(ntiles) - ntiles
+    total_work = offs[-1] + ntiles[-1]
+    w_idx = jnp.arange(w_cap, dtype=jnp.int32)
+    blk = (
+        jnp.searchsorted(offs, w_idx, side="right").astype(jnp.int32) - 1
+    ).clip(0, num_blocks - 1)
+    c = w_idx - offs[blk]
+    fs_idx = (j_lo[blk] + c - 1).clip(0, n_tiles - 1)
+    extra_tile = jax.lax.div(f_sorted[fs_idx], jnp.int32(CAP))
+    tile_w = jnp.where(c == 0, first_tile[blk], extra_tile).clip(
+        0, n_tiles - 1
+    )
+    valid = (w_idx < total_work) & (c >= 0) & (c < ntiles[blk])
+    len_w = jnp.where(
+        valid, jnp.clip(hi[blk] - tile_w * CAP, 0, CAP), 0
+    )
+    return blk, tile_w, len_w
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "exclude_int32_max")
 )
@@ -206,32 +272,15 @@ def ranged_merge_count_prepared(
         ).astype(jnp.int32)
         lo = jnp.minimum(lo, limit)
         hi = jnp.minimum(hi, limit)
-    tile0 = jax.lax.div(lo, jnp.int32(CAP))
-    length = jnp.maximum(hi - tile0 * CAP, 0)
-    ntiles = jax.lax.div(
-        (length + CAP - 1).astype(jnp.int32), jnp.int32(CAP)
-    )
-
-    # ---- flatten (block, tile-chunk) pairs into a static work list.
+    # ---- flatten (block, run-start tile) pairs into a static work list.
     # Mosaic cannot legalize data-dependent loop bounds inside the kernel,
-    # so the chunk loop becomes extra grid steps.  Static bound: block b
-    # searches ceil(range_b / CAP) tiles; ranges overlap only at block
-    # boundaries, so sum(ntiles) <= num_blocks (one partial tile each)
-    # + n_tiles (distinct tiles) + num_blocks (boundary overlaps).
-    w_cap = 2 * num_blocks + n_tiles
-    offs = jnp.cumsum(ntiles) - ntiles
-    total_work = offs[-1] + ntiles[-1]
-    w_idx = jnp.arange(w_cap, dtype=jnp.int32)
-    blk = (
-        jnp.searchsorted(offs, w_idx, side="right").astype(jnp.int32) - 1
-    ).clip(0, num_blocks - 1)
-    c = w_idx - offs[blk]
-    tile_w = (tile0[blk] + c).clip(0, n_tiles - 1)
-    len_w = jnp.where(
-        (w_idx < total_work) & (c >= 0),
-        jnp.clip(length[blk] - c * CAP, 0, CAP),
-        0,
+    # so the tile walk becomes extra grid steps; see _work_items for the
+    # enumeration and its capacity proof.
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), a_flat[1:] != a_flat[:-1]]
     )
+    blk, tile_w, len_w = _work_items(run_start, lo, hi, n_tiles, num_blocks)
+    w_cap = 2 * num_blocks + n_tiles
     gpos = tile_w * CAP  # global flat position of this chunk's first key
     prev_valid = (gpos > 0).astype(jnp.int32)
     prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
@@ -405,26 +454,12 @@ def _prep_i64(a_sorted: jax.Array, b_sorted: jax.Array):
     lasts = b_pad[BLOCK - 1 :: BLOCK]
     lo = jnp.searchsorted(a64, firsts, side="left").astype(jnp.int32)
     hi = jnp.searchsorted(a64, lasts, side="right").astype(jnp.int32)
-    tile0 = jax.lax.div(lo, jnp.int32(CAP))
-    length = jnp.maximum(hi - tile0 * CAP, 0)
-    ntiles = jax.lax.div(
-        (length + CAP - 1).astype(jnp.int32), jnp.int32(CAP)
+    # run starts on the 64-bit keys (both planes); work list shared with
+    # the int32 path — see _work_items for the capacity proof
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), a_pad[1:] != a_pad[:-1]]
     )
-
-    w_cap = 2 * num_blocks + n_tiles
-    offs = jnp.cumsum(ntiles) - ntiles
-    total_work = offs[-1] + ntiles[-1]
-    w_idx = jnp.arange(w_cap, dtype=jnp.int32)
-    blk = (
-        jnp.searchsorted(offs, w_idx, side="right").astype(jnp.int32) - 1
-    ).clip(0, num_blocks - 1)
-    c = w_idx - offs[blk]
-    tile_w = (tile0[blk] + c).clip(0, n_tiles - 1)
-    len_w = jnp.where(
-        (w_idx < total_work) & (c >= 0),
-        jnp.clip(length[blk] - c * CAP, 0, CAP),
-        0,
-    )
+    blk, tile_w, len_w = _work_items(run_start, lo, hi, n_tiles, num_blocks)
     gpos = tile_w * CAP
     prev_valid = (gpos > 0).astype(jnp.int32)
     prev = a_pad[jnp.maximum(gpos - 1, 0)]

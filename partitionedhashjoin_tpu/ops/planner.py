@@ -73,7 +73,12 @@ def _sorted_stats(a_sorted: jax.Array):
     """
     lo = a_sorted[0]
     hi = a_sorted[-1]
-    covered = jnp.all((a_sorted[1:] - a_sorted[:-1]) <= 1)
+    # wrap-safe gap test: true adjacent gaps are >= 0 (sorted) and < 2^w;
+    # a gap >= 2^(w-1) wraps NEGATIVE in the key dtype (e.g. build
+    # [INT32_MIN, INT32_MAX]: gap 2^32-1 -> -1), so "covered" requires the
+    # computed diff to be non-negative as well as <= 1
+    d = a_sorted[1:] - a_sorted[:-1]
+    covered = jnp.all((d >= 0) & (d <= 1))
     return lo, hi, covered
 
 

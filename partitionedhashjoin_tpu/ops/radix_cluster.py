@@ -282,10 +282,19 @@ class RadixHashJoiner:
                 jax.lax.sort((b,), num_keys=1, is_stable=False)[0],
             )
 
+        # int64 keys route to the hi/lo-plane kernel; int32 to the plain
+        # one.  Never a silent cast: truncation would make distinct 64-bit
+        # keys collide (round-2 review; same contract as hash_table's
+        # _as_i32_keys, which the chained mode inherits).
+        a_keys = jnp.asarray(table_a.keys)
+        b_keys = jnp.asarray(table_b.keys)
+        wide = (jnp.int64, jnp.uint64)
+        use_i64 = a_keys.dtype in wide or b_keys.dtype in wide
+        dtype = jnp.int64 if use_i64 else jnp.int32
+
         timer.set_partitioning_phase_begin()
         a_sorted, b_sorted = sort_both(
-            jnp.asarray(table_a.keys, jnp.int32),
-            jnp.asarray(table_b.keys, jnp.int32),
+            a_keys.astype(dtype), b_keys.astype(dtype)
         )
         sync((a_sorted, b_sorted))
         timer.set_partitioning_phase_end()
@@ -294,7 +303,12 @@ class RadixHashJoiner:
         timer.set_build_phase_end()
 
         timer.set_probe_phase_begin()
-        count = merge_join.sorted_runs_count(a_sorted, b_sorted)
+        if use_i64:
+            count = merge_join.merge_probe.ranged_merge_count_i64(
+                a_sorted, b_sorted
+            )
+        else:
+            count = merge_join.sorted_runs_count(a_sorted, b_sorted)
         count = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)

@@ -81,6 +81,7 @@ def main() -> int:
         sync(ids)
     except Exception as e:  # noqa: BLE001
         log(f"rejection sampler failed ({type(e).__name__}); alias path")
+        ids = None  # the failure usually surfaces at sync(), after assignment
     if ids is None and args.primary <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 

@@ -157,3 +157,41 @@ def test_int64_kernel_interpret():
         b3 = np.asarray([M, 5], np.int64)
         assert int(two_run_count_i64(jnp.asarray(a3), jnp.asarray(b3),
                                      interpret=True)) == 1
+
+
+def test_duplicate_run_spanning_tiles_work_list_capacity():
+    """Round-2 review finding: the original work list enumerated EVERY tile
+    of each block's range, so a duplicate run spanning T tiles was scanned
+    T times by every block touching it and sum(ntiles) could exceed the
+    static w_cap — excess items were silently dropped (undercount).  The
+    run-start enumeration (_work_items) skips run-interior tiles, which
+    both fixes the count and proves the bound."""
+    # build: one key duplicated across 4 full tiles, then a second key
+    a = np.concatenate(
+        [np.full(4 * CAP, 10, np.int32), np.full(100, 20, np.int32)]
+    )
+    # probe: 5 blocks of the hot key (each block's range spans all 4+ dup
+    # tiles under the old enumeration), then a block of key 20
+    b = np.concatenate(
+        [np.full(5 * BLOCK, 10, np.int32), np.full(BLOCK, 20, np.int32)]
+    )
+    assert _count(a, b) == b.size  # every probe row matches
+
+
+def test_many_hot_runs_heavy_duplication():
+    # dozens of multi-tile runs + unique tail; agreement with numpy
+    rng = np.random.default_rng(11)
+    hot = np.repeat(
+        rng.choice(10_000, 24, replace=False).astype(np.int32),
+        rng.integers(CAP, 3 * CAP, 24),
+    )
+    a = np.concatenate([hot, rng.integers(0, 10_000, 5_000).astype(np.int32)])
+    b = rng.integers(-100, 10_100, 2 * BLOCK + 333).astype(np.int32)
+    assert _count(a, b) == int(np.isin(b, a).sum())
+
+
+def test_single_giant_run():
+    # the entire build side is ONE key spanning many tiles
+    a = np.full(10 * CAP + 7, 42, np.int32)
+    b = np.asarray([41, 42, 43] * 1000, np.int32)
+    assert _count(a, b) == 1000

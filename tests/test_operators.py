@@ -303,3 +303,19 @@ class TestSortAggregate:
         pay = np.asarray(b.payloads)
         g = sort_aggregate(make_table(keys, pay))
         self._oracle_check(g, keys, pay)
+
+
+def test_sort_aggregate_zero_capacity_reports_exact_num_groups():
+    """Round-2 review: group_capacity=0 on a non-empty table must still
+    report the exact group count so the capacity-retry contract holds."""
+    import jax.numpy as jnp
+    from partitionedhashjoin_tpu.data.table import Table
+    from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+    t = Table(
+        keys=jnp.asarray([5, 5, 9, 2, 2, 2], jnp.int32),
+        payloads=jnp.asarray([1, 2, 3, 4, 5, 6], jnp.int32),
+    )
+    res = sort_aggregate(t, group_capacity=0)
+    assert int(res.num_groups) == 3
+    assert res.keys.shape[0] == 0

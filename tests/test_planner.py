@@ -137,3 +137,24 @@ def test_build_stats_fields():
         False,
     )
     assert np.all(np.diff(np.asarray(a_sorted)) >= 0)
+
+
+def test_wraparound_gap_not_covered():
+    """Round-2 review finding: an adjacent gap >= 2^31 wraps negative in
+    int32 and previously proved 'covered', making the interval plan count
+    EVERY in-range probe row (probe [5] vs build [INT32_MIN, INT32_MAX]
+    returned 1).  The wrap-safe test requires diffs in [0, 1]."""
+    lo32, hi32 = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+    build = jnp.asarray([lo32, hi32], jnp.int32)
+    probe = jnp.asarray([5, lo32, hi32], jnp.int32)
+    count, plan = planner.planned_count(build, probe)
+    assert plan != "interval"
+    assert int(count) == 2  # only the endpoints match
+
+    with jax.enable_x64(True):
+        lo64, hi64 = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+        build = jnp.asarray([lo64, hi64], jnp.int64)
+        probe = jnp.asarray([5, lo64], jnp.int64)
+        count, plan = planner.planned_count(build, probe)
+        assert plan != "interval"
+        assert int(count) == 1
