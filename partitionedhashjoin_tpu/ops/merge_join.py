@@ -131,6 +131,117 @@ def sorted_runs_count(
     return merge_probe.ranged_merge_count(a_sorted, b_sorted, interpret=interpret)
 
 
+@functools.partial(jax.jit, static_argnames=("has_valid",))
+def _prepare_build_i32(build_keys, build_valid=None, has_valid=False):
+    build_keys = jnp.asarray(build_keys, jnp.int32)
+    if has_valid:
+        build_valid = jnp.asarray(build_valid, jnp.bool_)
+        a_eff = jnp.where(build_valid, build_keys, _I32_MAX)
+        max_in_a = jnp.any(build_valid & (build_keys == _I32_MAX))
+    else:
+        a_eff = build_keys
+        max_in_a = jnp.any(build_keys == _I32_MAX)
+    return (
+        jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0],
+        max_in_a,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("has_valid", "interpret"))
+def _probe_prepared_i32(
+    a_sorted, max_in_a, probe_keys, probe_valid=None,
+    has_valid=False, interpret=False,
+):
+    probe_keys = jnp.asarray(probe_keys, jnp.int32)
+    if has_valid:
+        probe_valid = jnp.asarray(probe_valid, jnp.bool_)
+        b_eff = jnp.where(probe_valid, probe_keys, _I32_MAX)
+        n_max = jnp.sum(
+            (probe_valid & (probe_keys == _I32_MAX)).astype(jnp.int32)
+        )
+    else:
+        b_eff = probe_keys
+        n_max = jnp.sum((probe_keys == _I32_MAX).astype(jnp.int32))
+    b_sorted = jax.lax.sort((b_eff,), num_keys=1, is_stable=False)[0]
+    count = merge_probe.ranged_merge_count_prepared(
+        a_sorted, b_sorted, exclude_int32_max=True, interpret=interpret
+    )
+    return count + jnp.where(max_in_a, n_max, 0)
+
+
+class PreparedBuild:
+    """Build once, probe many — the engine analogue of the reference's
+    reusable built hash table (src/NoPartitioning/HashJoin.hpp: Build runs
+    once at :60-103, Probe is then driven repeatedly against the same
+    table).  The flagship join's "index" is the sorted build run; this
+    object pays that sort (and the INT32_MAX bookkeeping) exactly once and
+    serves any number of probes against it.
+
+    Supports int32 (Mosaic kernel path with validity masks) and int64
+    (hi/lo-plane kernel, requires x64; masks unsupported — rewrite keys on
+    the caller side).  Falls back identically on non-Mosaic backends via
+    ``interpret`` (tests) — probes there use the same kernel in interpreter
+    mode.
+    """
+
+    def __init__(self, build_keys, build_valid=None, interpret=False):
+        keys = jnp.asarray(build_keys)
+        self._interpret = interpret
+        self._n = int(keys.shape[0])
+        self._i64 = keys.dtype in (jnp.int64, jnp.uint64)
+        if self._i64:
+            if build_valid is not None:
+                raise TypeError(
+                    "validity masks are int32-path only; rewrite invalid "
+                    "int64 keys before preparing the build"
+                )
+            self.a_sorted = jax.lax.sort(
+                (keys.astype(jnp.int64),), num_keys=1, is_stable=False
+            )[0]
+            self.max_in_a = None
+        else:
+            if jax.config.jax_enable_x64:
+                from jax._src.config import enable_x64 as _enable_x64
+
+                with _enable_x64(False):
+                    self.a_sorted, self.max_in_a = _prepare_build_i32(
+                        jnp.asarray(keys, jnp.int32), build_valid,
+                        has_valid=build_valid is not None,
+                    )
+            else:
+                self.a_sorted, self.max_in_a = _prepare_build_i32(
+                    keys, build_valid, has_valid=build_valid is not None
+                )
+
+    def count(self, probe_keys, probe_valid=None) -> jax.Array:
+        """Get-semantics match count of this probe against the prepared
+        build — no build-side work happens here."""
+        if self._n == 0 or jnp.asarray(probe_keys).shape[0] == 0:
+            return jnp.asarray(0, jnp.int32)
+        if self._i64:
+            if probe_valid is not None:
+                raise TypeError("validity masks are int32-path only")
+            b_sorted = jax.lax.sort(
+                (jnp.asarray(probe_keys, jnp.int64),),
+                num_keys=1, is_stable=False,
+            )[0]
+            return merge_probe.ranged_merge_count_i64(
+                self.a_sorted, b_sorted, interpret=self._interpret
+            )
+        args = (
+            self.a_sorted, self.max_in_a, probe_keys, probe_valid,
+        )
+        kw = dict(
+            has_valid=probe_valid is not None, interpret=self._interpret
+        )
+        if jax.config.jax_enable_x64:
+            from jax._src.config import enable_x64 as _enable_x64
+
+            with _enable_x64(False):
+                return _probe_prepared_i32(*args, **kw)
+        return _probe_prepared_i32(*args, **kw)
+
+
 @jax.jit
 def _sort_i64(build_keys: jax.Array, probe_keys: jax.Array):
     a = jax.lax.sort((jnp.asarray(build_keys, jnp.int64),), num_keys=1,

@@ -606,11 +606,13 @@ class DistributedShuffleJoiner:
         max_retries: int = 3,
         local_join: str = "sort-merge",
         pipeline_chunks: int = 1,
+        single_shard_fast_path: bool = True,
     ) -> None:
         if local_join not in ("sort-merge", "hash"):
             raise ValueError(f"unknown local_join {local_join}")
         if pipeline_chunks < 1:
             raise ValueError("pipeline_chunks must be >= 1")
+        self._single_shard_fast_path = single_shard_fast_path
         self._local_join = local_join
         self._pipeline_chunks = pipeline_chunks
         self._mesh = mesh
@@ -652,6 +654,34 @@ class DistributedShuffleJoiner:
         s = self._num_shards
         if table_a.size % s or table_b.size % s:
             raise ValueError("relation sizes must divide the shard count")
+        if (
+            s == 1
+            and self._single_shard_fast_path
+            and self._local_join == "sort-merge"
+            and self._pipeline_chunks == 1
+        ):
+            # shuffle elision: a 1-shard exchange is the identity, so the
+            # join IS the local join (the single-partition special case
+            # every shuffle engine short-circuits).  Hot-key replication
+            # is likewise a no-op — there is no imbalance to spread.
+            # Disable via single_shard_fast_path=False to measure the
+            # exchange machinery itself (results/tpu-v5e/shuffle.txt).
+            from partitionedhashjoin_tpu.ops import merge_join
+            from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
+
+            timer.set_partitioning_phase_begin()
+            timer.set_partitioning_phase_end()
+            timer.set_build_phase_begin()
+            timer.set_build_phase_end()
+            timer.set_probe_phase_begin()
+            if merge_join.supported():
+                count = merge_join.two_run_count(table_a.keys, table_b.keys)
+            else:
+                count = sort_merge_count(table_a.keys, table_b.keys)
+            count = int(jax.device_get(count))
+            timer.set_probe_phase_end()
+            self._logger.info("Number of joined tuples: %d", count)
+            return count
         use_hot = self._handle_skew
         if use_hot:
             hot_keys, hot_valid = plan_hot_keys(
