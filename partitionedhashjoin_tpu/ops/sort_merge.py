@@ -35,6 +35,7 @@ reference's best total (167M rows/s at P=2048 on 8C/16T Ryzen, BASELINE.md).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -192,6 +193,17 @@ def sort_merge_materialize(
     positions ascend, so ``cummax(where(is_build, position, -1))`` is the
     last build position — the same one-scan trick as the count.
     """
+    keys_out, pay_a, pay_b, _, count = _materialize_typed(
+        build_keys, build_payloads, probe_keys, probe_payloads, "inner"
+    )
+    return keys_out, pay_a, pay_b, count
+
+
+def _match_probe_rows(build_keys, probe_keys):
+    """(hit, build_row) per probe row: whether its key exists among build
+    keys and, if so, the matching build row (latest in sorted order —
+    deterministic; the reference's ``Get`` picks an arbitrary chain-order
+    first match, HashJoin.hpp:159-180)."""
     n_a = build_keys.shape[0]
     n_b = probe_keys.shape[0]
     dtype = _key_dtype(build_keys, probe_keys)
@@ -235,19 +247,80 @@ def sort_merge_materialize(
         .at[probe_row_s]
         .set(build_row_s, mode="drop")
     )
+    return hit, build_row
+
+
+@functools.partial(jax.jit, static_argnames=("join_type",))
+def _materialize_typed(
+    build_keys, build_payloads, probe_keys, probe_payloads, join_type: str
+):
+    """Materialized join, all probe-side variants of the reference's
+    Get-semantics probe (HashJoin.hpp:144-180) plus the standard relational
+    extensions the reference lacks:
+
+    - ``inner``/``semi``: probe rows whose key matches, compacted front
+      (first-match build payload; identical output — a semi join per probe
+      row IS the first-match inner join here)
+    - ``anti``: probe rows with NO match, compacted front (pay_a zeros)
+    - ``left``: every probe row in place; ``matched`` marks rows whose
+      pay_a is a real build payload (NULL indicator, zeros otherwise)
+
+    Returns (keys, pay_a, pay_b, matched, count); rows beyond ``count``
+    are zero padding (static shapes — XLA compaction idiom).
+    """
+    if join_type not in ("inner", "semi", "anti", "left"):
+        raise ValueError(f"unknown join_type {join_type!r}")
+    n_b = probe_keys.shape[0]
+    hit, build_row = _match_probe_rows(build_keys, probe_keys)
+    pay_matched = jnp.where(
+        hit, build_payloads[build_row], jnp.zeros((), build_payloads.dtype)
+    )
+    if join_type == "left":
+        return (
+            jnp.asarray(probe_keys),
+            pay_matched,
+            jnp.asarray(probe_payloads),
+            hit,
+            jnp.asarray(n_b, jnp.int32),
+        )
+    keep = ~hit if join_type == "anti" else hit
     # stable compaction (same as ops/no_partitioning._probe_gather)
-    inc = hit.astype(jnp.int32)
-    dst = jnp.where(hit, jnp.cumsum(inc) - inc, n_b)
+    inc = keep.astype(jnp.int32)
+    dst = jnp.where(keep, jnp.cumsum(inc) - inc, n_b)
     keys_out = jnp.zeros((n_b,), jnp.asarray(probe_keys).dtype).at[dst].set(
         jnp.asarray(probe_keys), mode="drop"
     )
     pay_a = jnp.zeros((n_b,), build_payloads.dtype).at[dst].set(
-        build_payloads[build_row], mode="drop"
+        pay_matched, mode="drop"
     )
     pay_b = jnp.zeros((n_b,), probe_payloads.dtype).at[dst].set(
         probe_payloads, mode="drop"
     )
-    return keys_out, pay_a, pay_b, jnp.sum(inc)
+    matched = jnp.zeros((n_b,), jnp.bool_).at[dst].set(hit, mode="drop")
+    return keys_out, pay_a, pay_b, matched, jnp.sum(inc)
+
+
+def sort_merge_materialize_typed(
+    build_keys, build_payloads, probe_keys, probe_payloads,
+    join_type: str = "inner",
+):
+    """Public typed materializer — see ``_materialize_typed``."""
+    return _materialize_typed(
+        build_keys, build_payloads, probe_keys, probe_payloads, join_type
+    )
+
+
+def anti_count(build_keys, probe_keys, build_valid=None, probe_valid=None):
+    """Anti-join count: valid probe rows whose key does NOT appear among
+    valid build keys (complement of the Get-semantics count)."""
+    n_valid = (
+        jnp.sum(jnp.asarray(probe_valid, jnp.bool_).astype(jnp.int32))
+        if probe_valid is not None
+        else jnp.asarray(jnp.asarray(probe_keys).shape[0], jnp.int32)
+    )
+    return n_valid - sort_merge_count(
+        build_keys, probe_keys, build_valid, probe_valid
+    )
 
 
 class SortMergeJoiner:

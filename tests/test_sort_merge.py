@@ -168,3 +168,77 @@ def test_empty_inputs():
     assert SortMergeJoiner().run(empty, empty) == 0
     assert SortMergeJoiner().run(empty, some) == 0
     assert SortMergeJoiner().run(some, empty) == 0
+
+
+def test_materialize_join_types():
+    import numpy as np
+    from partitionedhashjoin_tpu.ops.sort_merge import (
+        anti_count,
+        sort_merge_materialize_typed,
+    )
+
+    build = jnp.asarray([10, 20, 30], jnp.int32)
+    bpay = jnp.asarray([100, 200, 300], jnp.int32)
+    probe = jnp.asarray([20, 5, 10, 20, 99], jnp.int32)
+    ppay = jnp.asarray([1, 2, 3, 4, 5], jnp.int32)
+
+    keys, pa, pb, matched, count = sort_merge_materialize_typed(
+        build, bpay, probe, ppay, "inner"
+    )
+    assert int(count) == 3
+    assert list(np.asarray(keys)[:3]) == [20, 10, 20]
+    assert list(np.asarray(pa)[:3]) == [200, 100, 200]
+    assert list(np.asarray(pb)[:3]) == [1, 3, 4]
+    assert np.asarray(matched)[:3].all()
+
+    keys, pa, pb, matched, count = sort_merge_materialize_typed(
+        build, bpay, probe, ppay, "anti"
+    )
+    assert int(count) == 2
+    assert list(np.asarray(keys)[:2]) == [5, 99]
+    assert list(np.asarray(pa)[:2]) == [0, 0]
+    assert not np.asarray(matched)[:2].any()
+
+    keys, pa, pb, matched, count = sort_merge_materialize_typed(
+        build, bpay, probe, ppay, "left"
+    )
+    assert int(count) == 5
+    assert list(np.asarray(keys)) == [20, 5, 10, 20, 99]
+    assert list(np.asarray(pa)) == [200, 0, 100, 200, 0]
+    assert list(np.asarray(matched)) == [True, False, True, True, False]
+
+    # anti_count complements the Get count, with validity masks
+    pvalid = jnp.asarray([True, True, False, True, True])
+    assert int(anti_count(build, probe)) == 2
+    assert int(anti_count(build, probe, probe_valid=pvalid)) == 2
+    bvalid = jnp.asarray([False, True, True])  # drop build key 10
+    # probe row with key 10 is itself invalid, so the anti set stays {5, 99};
+    # with ALL probe rows valid, dropping build key 10 grows it to {5, 10, 99}
+    assert int(
+        anti_count(build, probe, build_valid=bvalid, probe_valid=pvalid)
+    ) == 2
+    assert int(anti_count(build, probe, build_valid=bvalid)) == 3
+
+
+def test_materialize_typed_agrees_with_untyped_inner():
+    import numpy as np
+    from partitionedhashjoin_tpu.ops.sort_merge import (
+        sort_merge_materialize,
+        sort_merge_materialize_typed,
+    )
+
+    rng = np.random.default_rng(23)
+    build = rng.integers(0, 500, 300).astype(np.int32)
+    bpay = rng.integers(0, 10**6, 300).astype(np.int32)
+    probe = rng.integers(0, 600, 2000).astype(np.int32)
+    ppay = rng.integers(0, 10**6, 2000).astype(np.int32)
+    old = sort_merge_materialize(
+        jnp.asarray(build), jnp.asarray(bpay),
+        jnp.asarray(probe), jnp.asarray(ppay),
+    )
+    new = sort_merge_materialize_typed(
+        jnp.asarray(build), jnp.asarray(bpay),
+        jnp.asarray(probe), jnp.asarray(ppay), "inner",
+    )
+    for o, n in zip(old, (new[0], new[1], new[2], new[4])):
+        assert np.array_equal(np.asarray(o), np.asarray(n))
