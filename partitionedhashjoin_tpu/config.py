@@ -139,6 +139,11 @@ class NoPartitioningConfiguration:
     #: probe rows per dispatched chunk (the TPU analogue of MinBatchSize's
     #: per-thread batching: bounds single-program runtime and temp memory)
     probe_chunk_rows: int = 25_000_000
+    #: global-structure layout: "vmem" = sorted build run probed by the
+    #: Mosaic merge-probe kernel (zero HBM gathers), "chained" = chained
+    #: hash table probed by HBM gathers (the literal table analogue),
+    #: "auto" = vmem when the kernel backend is available
+    mode: str = "auto"
 
 
 @dataclasses.dataclass

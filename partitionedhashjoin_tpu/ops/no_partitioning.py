@@ -13,6 +13,18 @@ Matching the reference, the join result is **not materialized** by default:
 ``run`` returns the match count (HashJoin.hpp:184-186 logs the count and
 returns an empty table).  ``run_materialize`` is the engine extension that
 gathers the matched payload pairs.
+
+Two global-structure layouts (config.NoPartitioningConfiguration.mode):
+
+- ``"vmem"`` (default on TPU via ``"auto"``): the global structure is the
+  SORTED build run — an ordered dictionary instead of a hash table.  Build
+  = one unstable sort of A; probe = the VMEM merge-probe kernel
+  (ops/pallas/merge_probe.py), zero HBM gathers.  Still the Blanas shape:
+  no partitioning phase, ONE structure over the whole build side, the
+  probe streamed against it.
+- ``"chained"``: literal table analogue — chained-bucket hash table probed
+  by HBM gathers (~12 gathers/row at 7.6 ns each; 20-30x slower on TPU,
+  kept for structure parity and as the materialize/backend fallback).
 """
 
 from __future__ import annotations
@@ -73,9 +85,12 @@ class NoPartitioningHashJoiner:
         configuration: Optional[NoPartitioningConfiguration] = None,
         seed: Optional[int] = None,
         size_ratio: float = ht.DEFAULT_SIZE_RATIO,
+        interpret: bool = False,
     ) -> None:
         self._config = configuration or NoPartitioningConfiguration()
         self._size_ratio = size_ratio
+        #: run the Mosaic kernel in interpreter mode (CPU tests of "vmem")
+        self._interpret = interpret
         # Per-instance random hash seed (XXHasher.hpp:12-17 semantics), held
         # as a device scalar so seed changes never recompile the kernels.
         if seed is None:
@@ -93,6 +108,20 @@ class NoPartitioningHashJoiner:
         sync(table.entry_rows)
         return table
 
+    def _resolve_mode(self) -> str:
+        mode = getattr(self._config, "mode", "auto")
+        if mode == "auto":
+            from partitionedhashjoin_tpu.ops import merge_join
+
+            return (
+                "vmem"
+                if (merge_join.supported() or self._interpret)
+                else "chained"
+            )
+        if mode not in ("vmem", "chained"):
+            raise ValueError(f"unknown no-partitioning mode {mode!r}")
+        return mode
+
     def run(
         self,
         table_a: Table,
@@ -101,6 +130,8 @@ class NoPartitioningHashJoiner:
     ) -> int:
         """Build over A, probe with B, return the match count."""
         timer = timer or NoOpHashJoinTimer()
+        if self._resolve_mode() == "vmem":
+            return self._run_vmem(table_a, table_b, timer)
         timer.set_build_phase_begin()
         hash_tbl = self.build(table_a)
         timer.set_build_phase_end()
@@ -112,6 +143,36 @@ class NoPartitioningHashJoiner:
             )
         )
         count = int(jax.device_get(count))
+        timer.set_probe_phase_end()
+        self._logger.info("Number of joined tuples: %d", count)
+        return count
+
+    def _run_vmem(
+        self,
+        table_a: Table,
+        table_b: Table,
+        timer: IHashJoinTimer,
+    ) -> int:
+        """Sorted-run global structure + VMEM merge-probe kernel.
+
+        Phase mapping onto the reference timer (HashJoin.hpp:54-74): build
+        = constructing the global lookup structure (here one unstable sort
+        of A — merge_join.PreparedBuild); probe = streaming B against it
+        (sort B + per-block VMEM binary search, zero HBM gathers).  No
+        partitioning phase, matching the algorithm's name and the
+        reference's timer (partition stays 0).
+        """
+        from partitionedhashjoin_tpu.ops import merge_join
+
+        timer.set_build_phase_begin()
+        prepared = merge_join.PreparedBuild(
+            table_a.keys, interpret=self._interpret
+        )
+        sync(prepared.a_sorted)
+        timer.set_build_phase_end()
+
+        timer.set_probe_phase_begin()
+        count = int(jax.device_get(prepared.count(table_b.keys)))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count

@@ -377,16 +377,23 @@ class SortMergeJoiner:
         table_a: Table,
         table_b: Table,
         timer: Optional[IHashJoinTimer] = None,
+        join_type: str = "inner",
     ):
-        """Engine extension: materialized first-match join output."""
+        """Engine extension: materialized join output.
+
+        ``join_type`` selects the probe-side variant ("inner", "semi",
+        "anti", "left" — see ``sort_merge_materialize_typed``); the
+        reference materializes nothing, so all variants are extensions.
+        """
         from partitionedhashjoin_tpu.data.table import JoinedTable
 
         timer = timer or NoOpHashJoinTimer()
         timer.set_build_phase_begin()
         timer.set_build_phase_end()
         timer.set_probe_phase_begin()
-        keys, pay_a, pay_b, count = sort_merge_materialize(
-            table_a.keys, table_a.payloads, table_b.keys, table_b.payloads
+        keys, pay_a, pay_b, _, count = _materialize_typed(
+            table_a.keys, table_a.payloads, table_b.keys, table_b.payloads,
+            join_type,
         )
         count_host = int(jax.device_get(count))
         timer.set_probe_phase_end()

@@ -21,6 +21,7 @@ _SEVERITIES = {
     "trace": TRACE,
     "debug": logging.DEBUG,
     "info": logging.INFO,
+    "warning": logging.WARNING,
     "error": logging.ERROR,
     "critical": logging.CRITICAL,
 }

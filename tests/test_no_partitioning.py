@@ -93,3 +93,56 @@ def test_duplicate_build_keys_first_match_semantics():
         np.array([1, 2, 3], np.int32), np.arange(3, dtype=np.int32)
     )
     assert NoPartitioningHashJoiner(seed=7).run(a, b) == 2
+
+
+def test_vmem_mode_agrees_with_chained_and_oracle():
+    from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
+
+    rng = np.random.default_rng(11)
+    a, b, a_keys, b_keys = _np_tables(rng, n_a=800, n_b=4000, key_hi=1200)
+    oracle = int(np.isin(b_keys, a_keys).sum())
+    chained = NoPartitioningHashJoiner(
+        NoPartitioningConfiguration(mode="chained"), seed=8
+    )
+    vmem = NoPartitioningHashJoiner(
+        NoPartitioningConfiguration(mode="vmem"), seed=8, interpret=True
+    )
+    assert chained.run(a, b) == oracle
+    assert vmem.run(a, b) == oracle
+
+
+def test_vmem_mode_timer_and_duplicates():
+    from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
+
+    # Get-based count semantics survive the sorted-run layout: duplicated
+    # build keys count each matching probe row once.
+    a = make_table(
+        np.array([1, 1, 1, 2], np.int32), np.arange(4, dtype=np.int32)
+    )
+    b = make_table(
+        np.array([1, 2, 3, 1], np.int32), np.arange(4, dtype=np.int32)
+    )
+    joiner = NoPartitioningHashJoiner(
+        NoPartitioningConfiguration(mode="vmem"), seed=9, interpret=True
+    )
+    timer = HashJoinTimer(Parameters())
+    assert joiner.run(a, b, timer) == 3
+    result = timer.get_result()
+    assert result.get_build_phase_duration() >= 0
+    assert result.get_probe_phase_duration() >= 0
+    assert result.get_partitioning_phase_duration() == 0
+
+
+def test_vmem_mode_auto_resolution_and_empty_sides():
+    from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
+
+    # interpret=True forces the kernel path even off-TPU (auto -> vmem)
+    joiner = NoPartitioningHashJoiner(seed=10, interpret=True)
+    assert joiner._resolve_mode() == "vmem"
+    empty = make_table(
+        np.empty(0, np.int32), np.empty(0, np.int32)
+    )
+    some = sequential_table(64)
+    assert joiner.run(empty, some) == 0
+    assert joiner.run(some, empty) == 0
+    assert joiner.run(empty, empty) == 0

@@ -242,3 +242,22 @@ def test_materialize_typed_agrees_with_untyped_inner():
     )
     for o, n in zip(old, (new[0], new[1], new[2], new[4])):
         assert np.array_equal(np.asarray(o), np.asarray(n))
+
+
+def test_joiner_run_materialize_join_type():
+    import numpy as np
+    from partitionedhashjoin_tpu.data.table import make_table
+
+    a = make_table(
+        np.array([10, 20, 30], np.int32), np.array([100, 200, 300], np.int32)
+    )
+    b = make_table(
+        np.array([20, 5, 10, 20, 99], np.int32),
+        np.array([1, 2, 3, 4, 5], np.int32),
+    )
+    joiner = SortMergeJoiner()
+    out = joiner.run_materialize(a, b, join_type="anti")
+    assert int(out.count) == 2
+    assert list(np.asarray(out.keys)[:2]) == [5, 99]
+    out = joiner.run_materialize(a, b)  # default stays inner
+    assert int(out.count) == 3
