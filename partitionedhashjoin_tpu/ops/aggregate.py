@@ -142,14 +142,18 @@ def filter_aggregate(table: Table, predicate, seed: int = 0) -> GroupByResult:
 # contiguous run with its MIN payload first and MAX last, so all four
 # aggregates fall out of ONE sort + prefix scans:
 #
-#   starts S_g  : boundary-flag compaction (one scatter via ops/filter.py)
-#   count       : S_{g+1} - S_g
-#   sum         : cumsum difference cs[E_g] - cs[S_g - 1].  int32 cumsum
-#                 wraps mod 2^32 exactly like the hash path's scatter-add
-#                 accumulation (addition mod 2^32 is associative), so the
-#                 two paths return bit-identical sums even for overflowing
-#                 heavy groups.
-#   min / max   : payload at S_g / E_g (payload is the 3rd sort key)
+#   starts S_g  : boundary-flag compaction via a second unstable 2-key sort
+#                 on (not-start, position) — cheaper than a scatter at scale,
+#                 and it carries key/min/cumsum/max columns along as value
+#                 operands so NO group-indexed gathers remain (a 16M-index
+#                 gather from a 200M array costs 250-490 ms on this chip)
+#   count       : S_{g+1} - S_g  (slice-shift of the compacted prefix)
+#   sum         : exclusive-cumsum difference csx[S_{g+1}] - csx[S_g].
+#                 int32 cumsum wraps mod 2^32 exactly like the hash path's
+#                 scatter-add accumulation (addition mod 2^32 is
+#                 associative), so the two paths return bit-identical sums
+#                 even for overflowing heavy groups.
+#   min / max   : payload at S_g / S_{g+1}-1 (payload is the 3rd sort key)
 #   group keys  : key at S_g
 #
 # Group order is key-ascending (vs the hash path's claim order) — both are
@@ -168,8 +172,6 @@ def _sort_group_and_aggregate(
     has_valid: bool = False,
     with_group_of_row: bool = False,
 ) -> GroupByResult:
-    from partitionedhashjoin_tpu.ops.filter import compact
-
     n = keys.shape[0]
     if n == 0:
         gz = jnp.zeros((group_capacity,), jnp.int32)
@@ -207,8 +209,8 @@ def _sort_group_and_aggregate(
         else jnp.zeros((n,), jnp.int32)
     )
     iota = jnp.arange(n, dtype=jnp.int32)
-    # one unstable multi-key sort; extra operands are nearly free.  Invalid
-    # rows sort to the back, so the valid prefix is contiguous.
+    # pass 1: one unstable multi-key sort; extra operands are nearly free.
+    # Invalid rows sort to the back, so the valid prefix is contiguous.
     ops = (inv, keys, payloads) + ((iota,) if with_group_of_row else ())
     sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=False)
     inv_s, key_s, pay_s = sorted_ops[:3]
@@ -219,28 +221,59 @@ def _sort_group_and_aggregate(
     is_start = valid_s & ((iota == 0) | (key_s != prev_key))
     num_groups = jnp.sum(is_start.astype(jnp.int32))
 
-    # compact the start positions (the one scatter in this path), then the
-    # group-indexed outputs are G_cap-sized gathers against the sorted runs
-    _, starts_full = compact(is_start, iota)
-    g = jnp.arange(group_capacity, dtype=jnp.int32)
-    g_ok = g < num_groups
-    s_g = jnp.where(g_ok, starts_full[:group_capacity], 0)
-    next_start = jnp.concatenate(
-        [starts_full[1:group_capacity + 1], jnp.zeros((1,), jnp.int32)]
-    )[:group_capacity]
-    e_g = jnp.where(g + 1 < num_groups, next_start, n_valid) - 1
-    e_g = jnp.where(g_ok, e_g, 0)
-
+    # pass 2: compact the start rows by sorting on (not-start, position) and
+    # CARRY every per-group value through the same sort as value operands.
+    # Measured (docs/PERFORMANCE.md): a 16M-index gather from a 200M array
+    # costs 250-490 ms, and the previous formulation (scatter-compacted
+    # starts + 5 group-indexed gathers) spent ~4 s here; value operands ride
+    # the compaction sort at ~1 ns/el, and every group aggregate below falls
+    # out of slice-shifts of the compacted prefix:
+    #   key_g   = key at the start row
+    #   min_g   = payload at the start row (payload is the 3rd sort key, so
+    #             runs are payload-ascending)
+    #   sum_g   = csx[s_{g+1}] - csx[s_g] with csx the EXCLUSIVE payload
+    #             cumsum (last group closes with the total valid sum)
+    #   max_g   = payload at s_{g+1}-1 = maxprev carried at start row g+1
+    #             (last group: payload at the last valid row)
     cs = jnp.cumsum(pay_s.astype(payloads.dtype))
-    sum_ = cs[e_g] - jnp.where(s_g > 0, cs[jnp.maximum(s_g - 1, 0)], 0)
-    count = e_g - s_g + 1
+    csx = cs - pay_s.astype(payloads.dtype)
+    maxprev = jnp.concatenate([pay_s[:1], pay_s[:-1]])
+    flag = jnp.where(is_start, 0, 1).astype(jnp.int32)
+    _, s_full, gkey, gmin, gcsx, gmaxp = jax.lax.sort(
+        (flag, iota, key_s, pay_s, csx, maxprev), num_keys=2, is_stable=False
+    )
+
+    cap = group_capacity
+    g = jnp.arange(cap, dtype=jnp.int32)
+    g_ok = g < num_groups
+    has_next = g + 1 < num_groups
     zero_p = jnp.zeros((), payloads.dtype)
+    zero1 = jnp.zeros((1,), jnp.int32)
+    zero1_p = jnp.zeros((1,), payloads.dtype)
+
+    def shift(col, pad):
+        return jnp.concatenate([col[1:cap + 1], pad])[:cap]
+
+    s_g = jnp.where(g_ok, s_full[:cap], 0)
+    e_excl = jnp.where(has_next, shift(s_full, zero1), n_valid)
+    count = jnp.where(g_ok, e_excl - s_g, 0)
+
+    total_valid = jnp.sum(jnp.where(valid_s, pay_s, 0).astype(payloads.dtype))
+    sum_hi = jnp.where(has_next, shift(gcsx, zero1_p), total_valid)
+    sum_ = jnp.where(g_ok, sum_hi - gcsx[:cap], zero_p)
+
+    last_valid_pay = pay_s[jnp.maximum(n_valid - 1, 0)]
+    max_ = jnp.where(
+        g_ok,
+        jnp.where(has_next, shift(gmaxp, zero1_p), last_valid_pay),
+        zero_p,
+    )
     res = GroupByResult(
-        keys=jnp.where(g_ok, key_s[s_g], 0),
-        count=jnp.where(g_ok, count, 0),
-        sum=jnp.where(g_ok, sum_, zero_p),
-        min=jnp.where(g_ok, pay_s[s_g], zero_p),
-        max=jnp.where(g_ok, pay_s[e_g], zero_p),
+        keys=jnp.where(g_ok, gkey[:cap], 0),
+        count=count,
+        sum=sum_,
+        min=jnp.where(g_ok, gmin[:cap], zero_p),
+        max=max_,
         num_groups=num_groups,
         group_of_row=jnp.full((n,), -1, jnp.int32),
     )

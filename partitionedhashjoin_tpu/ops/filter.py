@@ -38,14 +38,36 @@ def compact(mask: jax.Array, *columns: jax.Array):
     return (jnp.sum(inc),) + outs
 
 
+@jax.jit
+def compact_sort(mask: jax.Array, *columns: jax.Array):
+    """Stable partition via one unstable 2-key sort: selected rows first.
+
+    Returns ``(count, *partitioned_columns)``.  Rows past ``count`` are the
+    REJECTED rows (also in original order) rather than zeros — a stable
+    partition, not a zero-padded compaction.  At relation scale this is the
+    cheaper formulation on this chip: the 2-key unstable sort moves data at
+    ~3.9 ns/el total vs ~8.6 ns/el per scatter-set column for ``compact``
+    (docs/PERFORMANCE.md primitive table), and extra value operands ride the
+    same sort at ~1 ns/el each.
+    """
+    n = mask.shape[0]
+    flag = jnp.where(jnp.asarray(mask, jnp.bool_), 0, 1).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_ops = jax.lax.sort(
+        (flag, iota) + columns, num_keys=2, is_stable=False
+    )
+    return (n - jnp.sum(sorted_ops[0]),) + tuple(sorted_ops[2:])
+
+
 def filter_table(
     table: Table, predicate: Callable[[jax.Array, jax.Array], jax.Array]
 ) -> Tuple[Table, jax.Array]:
     """Select rows where ``predicate(keys, payloads)`` holds.
 
     Returns ``(compacted_table, count)``; the table keeps the input's static
-    size, with valid rows in ``[0, count)``.
+    size, with the selected rows in ``[0, count)`` (original order) and the
+    rejected rows after them (``compact_sort`` stable-partition semantics).
     """
     mask = predicate(table.keys, table.payloads)
-    count, keys, payloads = compact(mask, table.keys, table.payloads)
+    count, keys, payloads = compact_sort(mask, table.keys, table.payloads)
     return make_table(keys, payloads), count

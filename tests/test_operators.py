@@ -30,6 +30,23 @@ class TestFilter:
         assert c == mask.sum()
         np.testing.assert_array_equal(np.asarray(out)[:c], vals[mask])
 
+    def test_compact_sort_is_stable_partition(self):
+        from partitionedhashjoin_tpu.ops.filter import compact_sort
+
+        rng = np.random.default_rng(7)
+        mask = rng.random(2000) < 0.3
+        vals = rng.integers(-1000, 1000, 2000).astype(np.int32)
+        pays = rng.integers(0, 9, 2000).astype(np.int32)
+        count, out, out_p = compact_sort(
+            jnp.asarray(mask), jnp.asarray(vals), jnp.asarray(pays)
+        )
+        c = int(count)
+        assert c == mask.sum()
+        np.testing.assert_array_equal(np.asarray(out)[:c], vals[mask])
+        np.testing.assert_array_equal(np.asarray(out_p)[:c], pays[mask])
+        # stable partition: the tail is the REJECTED rows, original order
+        np.testing.assert_array_equal(np.asarray(out)[c:], vals[~mask])
+
     def test_filter_table_predicate(self):
         rng = np.random.default_rng(1)
         keys = rng.integers(0, 100, 5000).astype(np.int32)
