@@ -64,7 +64,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--secondary", type=int, default=200_000_000,
                    help="secondary (probe) relation size")
     p.add_argument("--skew", type=float, default=1.05,
-                   help="Zipf skew of the secondary relation")
+                   help="Zipf skew of the secondary relation (0 = uniform)")
     p.add_argument("--join", choices=JOIN_CHOICES, default="no-partitioning",
                    help="join algorithm")
     p.add_argument("--partitions", type=int, default=None,

@@ -173,6 +173,40 @@ def zipf_keys_alias(
     return jnp.where(take_bin, bin_, alias[bin_]) + 1
 
 
+def uniform_keys(
+    key: jax.Array, n: int, lo: int, hi: int, dtype=jnp.int32
+) -> jax.Array:
+    """n uniform ids over the closed range [lo, hi] — Zipf with alpha = 0.
+
+    The uniform-keys workload (BASELINE.json configs "uniform keys",
+    10M⋈200M).  Zipf(0) IS the uniform distribution, so this is the exact
+    ``--skew 0`` semantics of the reference sampler (Zipf.cpp:14-56 with
+    alpha = 0 accepts every proposal uniformly) — implemented directly with
+    one counter-based randint draw instead of the rejection loop.
+    """
+    return jax.random.randint(key, (n,), lo, hi + 1, dtype=dtype)
+
+
+def uniform_table(
+    n: int,
+    key_range: Tuple[int, int],
+    seed: Optional[int] = None,
+    dtype=jnp.int32,
+) -> Table:
+    """Secondary relation with uniform ids over closed [lo, hi]."""
+    lo, hi = key_range
+    if lo >= hi:
+        raise ValueError(
+            f"Range for uniform generation is incorrectly specified: [{lo}, {hi}]."
+        )
+    if seed is None:
+        import numpy as _np
+
+        seed = int(_np.random.SeedSequence().entropy & 0x7FFFFFFF)
+    ids = uniform_keys(jax.random.PRNGKey(seed), n, lo, hi, dtype=dtype)
+    return make_table(ids, jnp.arange(n, dtype=dtype))
+
+
 def sequential_keys(n: int, start: int = 1, dtype=jnp.int32) -> jax.Array:
     """ids start..start+n-1 (Sequential.cpp:20-25)."""
     return start + jnp.arange(n, dtype=dtype)
@@ -208,6 +242,10 @@ def zipf_table(
         raise ValueError(
             f"Range for Zipf generation is incorrectly specified: [{lo}, {hi}]."
         )
+    if float(alpha) == 0.0:
+        # Zipf(0) is the uniform distribution; skip the rejection/alias
+        # machinery and draw directly (same key multiset semantics).
+        return uniform_table(n, key_range, seed=seed, dtype=dtype)
     cardinality = hi - lo + 1
     correction = lo - 1
     if seed is None:

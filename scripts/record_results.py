@@ -69,19 +69,29 @@ def main() -> int:
     t0 = time.perf_counter()
     table_a = sequential_table(args.primary)
     ids = None
-    try:
-        # pure-XLA rejection sampler: no relay transfer, reliable compile
-        # cache (Pallas fingerprints miss across processes — see bench.py)
-        from partitionedhashjoin_tpu.ops.generators import zipf_keys
+    if args.skew == 0.0:
+        # uniform-keys workload (BASELINE.json configs: "uniform keys"):
+        # Zipf(0) = uniform; direct randint, no rejection/alias machinery
+        from partitionedhashjoin_tpu.ops.generators import uniform_keys
 
-        ids = zipf_keys(
-            jax.random.PRNGKey(args.seed), args.secondary, args.skew,
-            args.primary,
+        ids = uniform_keys(
+            jax.random.PRNGKey(args.seed), args.secondary, 1, args.primary
         )
         sync(ids)
-    except Exception as e:  # noqa: BLE001
-        log(f"rejection sampler failed ({type(e).__name__}); alias path")
-        ids = None  # the failure usually surfaces at sync(), after assignment
+    if ids is None:
+        try:
+            # pure-XLA rejection sampler: no relay transfer, reliable compile
+            # cache (Pallas fingerprints miss across processes — see bench.py)
+            from partitionedhashjoin_tpu.ops.generators import zipf_keys
+
+            ids = zipf_keys(
+                jax.random.PRNGKey(args.seed), args.secondary, args.skew,
+                args.primary,
+            )
+            sync(ids)
+        except Exception as e:  # noqa: BLE001
+            log(f"rejection sampler failed ({type(e).__name__}); alias path")
+            ids = None  # failure usually surfaces at sync(), after assignment
     if ids is None and args.primary <= (1 << 24):
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 

@@ -48,6 +48,19 @@ def test_radix_output_includes_partitions(tmp_path):
     assert doc["parameters"]["NumberOfPartitions"] == "32"
 
 
+def test_uniform_keys_via_skew_zero(tmp_path):
+    """--skew 0 = uniform secondary keys (BASELINE.json 'uniform keys'
+    configs); the count oracle (matches == secondary size) holds because
+    uniform draws stay inside the primary's [1, N] key range."""
+    doc = _run(
+        tmp_path,
+        ["--primary", "4096", "--secondary", "16384", "--seed", "9",
+         "--skew", "0", "--join", "sort-merge", "--log", "error"],
+    )
+    assert doc["parameters"]["Skew"] == "0.000000"
+    assert int(doc["results"]["probe"]) >= 0
+
+
 def test_sort_merge_and_unit_seconds(tmp_path):
     doc = _run(
         tmp_path,

@@ -40,6 +40,32 @@ def test_zipf_reference_properties():
     assert all(freqs[i] >= freqs[i + 1] for i in range(card - 1))
 
 
+def test_uniform_table_bounds_and_flatness():
+    """Zipf(0) = uniform (BASELINE.json 'uniform keys' configs): closed-range
+    bounds hold and bucket frequencies are flat within sampling noise."""
+    n, lo, hi = 200_000, 5, 104  # 100 buckets, E[count]=2000, sd~44
+    t = generators.uniform_table(n, (lo, hi), seed=7)
+    keys = np.asarray(t.keys)
+    assert keys.min() >= lo and keys.max() <= hi
+    freqs = np.bincount(keys - lo, minlength=hi - lo + 1)
+    assert freqs.min() > 1700 and freqs.max() < 2300  # ~6.7 sd
+    np.testing.assert_array_equal(np.asarray(t.payloads), np.arange(n))
+
+
+def test_zipf_alpha_zero_routes_to_uniform():
+    a = generators.zipf_table(50_000, 0.0, (1, 1000), seed=3)
+    b = generators.uniform_table(50_000, (1, 1000), seed=3)
+    np.testing.assert_array_equal(np.asarray(a.keys), np.asarray(b.keys))
+    # alias method is skipped entirely at alpha=0 (uniform needs no tables)
+    c = generators.zipf_table(50_000, 0.0, (1, 1000), seed=3, method="alias")
+    np.testing.assert_array_equal(np.asarray(c.keys), np.asarray(b.keys))
+
+
+def test_uniform_range_validation():
+    with pytest.raises(ValueError):
+        generators.uniform_table(100, (10, 10))
+
+
 def test_zipf_range_validation():
     with pytest.raises(ValueError):
         generators.zipf_table(100, 1.05, (10, 10))
