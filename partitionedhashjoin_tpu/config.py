@@ -136,9 +136,17 @@ class NoPartitioningConfiguration:
     """
 
     min_batch_size: int = 10_000
-    #: probe rows per dispatched chunk (the TPU analogue of MinBatchSize's
-    #: per-thread batching: bounds single-program runtime and temp memory)
+    #: probe rows per dispatched chunk in "chained" mode (the TPU analogue of
+    #: MinBatchSize's per-thread batching: bounds single-program runtime and
+    #: temp memory — the gather probe costs ~90 ns/row, so 25M rows ≈ 2.3 s
+    #: per program, safely under the 20-30 s device watchdog)
     probe_chunk_rows: int = 25_000_000
+    #: probe rows per dispatched chunk in "vmem" mode.  The sort+kernel probe
+    #: costs ~3 ns/row — ~30x cheaper than the gather probe — so its chunk
+    #: bound engages only for relations ~10x past the benchmark scale
+    #: (2B rows ≈ 6 s/program); int64 probes are never chunked (validity
+    #: masks are int32-path only, documented in merge_join.PreparedBuild)
+    vmem_probe_chunk_rows: int = 2_000_000_000
     #: global-structure layout: "vmem" = sorted build run probed by the
     #: Mosaic merge-probe kernel (zero HBM gathers), "chained" = chained
     #: hash table probed by HBM gathers (the literal table analogue),

@@ -72,6 +72,11 @@ class JoinedTable:
     payloads_a: jax.Array
     payloads_b: jax.Array
     count: jax.Array  # scalar int64-ish count of valid rows
+    #: per-row NULL indicator (left joins: True iff ``payloads_a[i]`` is a
+    #: real build payload rather than the NULL-filled zero; a matched row
+    #: whose build payload is legitimately 0 is distinguishable only through
+    #: this column).  None on paths that only emit matching rows.
+    matched: "jax.Array | None" = None
 
 
 def make_table(keys, payloads, uuid: str = "") -> Table:

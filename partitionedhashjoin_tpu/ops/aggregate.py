@@ -235,7 +235,10 @@ def _sort_group_and_aggregate(
     #             cumsum (last group closes with the total valid sum)
     #   max_g   = payload at s_{g+1}-1 = maxprev carried at start row g+1
     #             (last group: payload at the last valid row)
-    cs = jnp.cumsum(pay_s.astype(payloads.dtype))
+    # dtype= pins the accumulator: reductions otherwise promote int32 to
+    # int64 under x64, which would break the documented mod-2^32 sum parity
+    # with the hash path for overflowing heavy groups
+    cs = jnp.cumsum(pay_s, dtype=payloads.dtype)
     csx = cs - pay_s.astype(payloads.dtype)
     maxprev = jnp.concatenate([pay_s[:1], pay_s[:-1]])
     flag = jnp.where(is_start, 0, 1).astype(jnp.int32)
@@ -258,7 +261,9 @@ def _sort_group_and_aggregate(
     e_excl = jnp.where(has_next, shift(s_full, zero1), n_valid)
     count = jnp.where(g_ok, e_excl - s_g, 0)
 
-    total_valid = jnp.sum(jnp.where(valid_s, pay_s, 0).astype(payloads.dtype))
+    total_valid = jnp.sum(
+        jnp.where(valid_s, pay_s, 0), dtype=payloads.dtype
+    )
     sum_hi = jnp.where(has_next, shift(gcsx, zero1_p), total_valid)
     sum_ = jnp.where(g_ok, sum_hi - gcsx[:cap], zero_p)
 

@@ -60,14 +60,21 @@ def compact_sort(mask: jax.Array, *columns: jax.Array):
 
 
 def filter_table(
-    table: Table, predicate: Callable[[jax.Array, jax.Array], jax.Array]
+    table: Table,
+    predicate: Callable[[jax.Array, jax.Array], jax.Array],
+    zero_tail: bool = False,
 ) -> Tuple[Table, jax.Array]:
     """Select rows where ``predicate(keys, payloads)`` holds.
 
     Returns ``(compacted_table, count)``; the table keeps the input's static
-    size, with the selected rows in ``[0, count)`` (original order) and the
-    rejected rows after them (``compact_sort`` stable-partition semantics).
+    size with the selected rows in ``[0, count)`` (original order).  By
+    default rows past ``count`` are the REJECTED rows, also in original
+    order (``compact_sort`` stable-partition semantics — the fast
+    formulation at relation scale).  Pass ``zero_tail=True`` for the
+    zero-padded tail (``compact``) when downstream code reduces over the
+    full static-capacity column without slicing by ``count``.
     """
     mask = predicate(table.keys, table.payloads)
-    count, keys, payloads = compact_sort(mask, table.keys, table.payloads)
+    op = compact if zero_tail else compact_sort
+    count, keys, payloads = op(mask, table.keys, table.payloads)
     return make_table(keys, payloads), count

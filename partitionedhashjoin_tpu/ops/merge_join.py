@@ -77,7 +77,6 @@ def two_run_count(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def _two_run_count(
     build_keys: jax.Array,
     probe_keys: jax.Array,
@@ -85,39 +84,24 @@ def _two_run_count(
     probe_valid=None,
     interpret: bool = False,
 ) -> jax.Array:
+    """Composed as _prepare_build_i32 + _probe_prepared_i32 so the INT32_MAX
+    validity-sentinel protocol lives in exactly one place (PreparedBuild
+    probes through the same two programs, so the compile cache is shared)."""
     build_keys = jnp.asarray(build_keys, jnp.int32)
     probe_keys = jnp.asarray(probe_keys, jnp.int32)
     if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
         return jnp.asarray(0, jnp.int32)
-
-    # INT32_MAX bookkeeping (see module doc): the kernel never searches the
-    # INT32_MAX region, so genuine INT32_MAX traffic is counted here
-    if build_valid is not None:
-        build_valid = jnp.asarray(build_valid, jnp.bool_)
-        a_eff = jnp.where(build_valid, build_keys, _I32_MAX)
-        max_in_a = jnp.any(build_valid & (build_keys == _I32_MAX))
-    else:
-        a_eff = build_keys
-        max_in_a = jnp.any(build_keys == _I32_MAX)
-    if probe_valid is not None:
-        probe_valid = jnp.asarray(probe_valid, jnp.bool_)
-        b_eff = jnp.where(probe_valid, probe_keys, _I32_MAX)
-        n_max_probe = jnp.sum(
-            (probe_valid & (probe_keys == _I32_MAX)).astype(jnp.int32)
-        )
-    else:
-        b_eff = probe_keys
-        n_max_probe = jnp.sum((probe_keys == _I32_MAX).astype(jnp.int32))
-
-    a_sorted = jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0]
-    b_sorted = jax.lax.sort((b_eff,), num_keys=1, is_stable=False)[0]
-    count = merge_probe.ranged_merge_count_prepared(
+    a_sorted, max_in_a = _prepare_build_i32(
+        build_keys, build_valid, has_valid=build_valid is not None
+    )
+    return _probe_prepared_i32(
         a_sorted,
-        b_sorted,
-        exclude_int32_max=True,
+        max_in_a,
+        probe_keys,
+        probe_valid,
+        has_valid=probe_valid is not None,
         interpret=interpret,
     )
-    return count + jnp.where(max_in_a, n_max_probe, 0)
 
 
 def sorted_runs_count(

@@ -172,7 +172,28 @@ class NoPartitioningHashJoiner:
         timer.set_build_phase_end()
 
         timer.set_probe_phase_begin()
-        count = int(jax.device_get(prepared.count(table_b.keys)))
+        n = table_b.size
+        num_chunks = ht.dispatch_chunks(
+            n, target=self._config.vmem_probe_chunk_rows
+        )
+        if num_chunks == 1 or prepared.a_sorted.dtype != jnp.int32:
+            # one program; int64 probes always take this branch (validity
+            # masks are int32-path only — config.vmem_probe_chunk_rows doc)
+            count = int(jax.device_get(prepared.count(table_b.keys)))
+        else:
+            # dispatch-level chunking (the watchdog bound, CLAUDE.md): equal
+            # fixed-size windows so every chunk shares one compiled program;
+            # the last window ends at n and masks its overlap with the
+            # previous one invalid.  Get-semantics counts are additive over
+            # probe partitions, so summing chunk counts is exact.
+            w = -(-n // num_chunks)
+            count = 0
+            for c in range(num_chunks):
+                start = min(c * w, n - w)
+                skip = c * w - start  # rows already counted by window c-1
+                chunk = jax.lax.dynamic_slice_in_dim(table_b.keys, start, w)
+                valid = jnp.arange(w, dtype=jnp.int32) >= skip
+                count += int(jax.device_get(prepared.count(chunk, valid)))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count)
         return count

@@ -284,20 +284,17 @@ def _materialize_typed(
             jnp.asarray(n_b, jnp.int32),
         )
     keep = ~hit if join_type == "anti" else hit
-    # stable compaction (same as ops/no_partitioning._probe_gather)
-    inc = keep.astype(jnp.int32)
-    dst = jnp.where(keep, jnp.cumsum(inc) - inc, n_b)
-    keys_out = jnp.zeros((n_b,), jnp.asarray(probe_keys).dtype).at[dst].set(
-        jnp.asarray(probe_keys), mode="drop"
+    # stable zero-padded compaction, shared with the filter operator
+    from partitionedhashjoin_tpu.ops.filter import compact
+
+    count, keys_out, pay_a, pay_b, matched = compact(
+        keep,
+        jnp.asarray(probe_keys),
+        pay_matched,
+        jnp.asarray(probe_payloads),
+        hit,
     )
-    pay_a = jnp.zeros((n_b,), build_payloads.dtype).at[dst].set(
-        pay_matched, mode="drop"
-    )
-    pay_b = jnp.zeros((n_b,), probe_payloads.dtype).at[dst].set(
-        probe_payloads, mode="drop"
-    )
-    matched = jnp.zeros((n_b,), jnp.bool_).at[dst].set(hit, mode="drop")
-    return keys_out, pay_a, pay_b, matched, jnp.sum(inc)
+    return keys_out, pay_a, pay_b, matched, count
 
 
 def sort_merge_materialize_typed(
@@ -391,7 +388,7 @@ class SortMergeJoiner:
         timer.set_build_phase_begin()
         timer.set_build_phase_end()
         timer.set_probe_phase_begin()
-        keys, pay_a, pay_b, _, count = _materialize_typed(
+        keys, pay_a, pay_b, matched, count = _materialize_typed(
             table_a.keys, table_a.payloads, table_b.keys, table_b.payloads,
             join_type,
         )
@@ -399,5 +396,9 @@ class SortMergeJoiner:
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count_host)
         return JoinedTable(
-            keys=keys, payloads_a=pay_a, payloads_b=pay_b, count=count
+            keys=keys,
+            payloads_a=pay_a,
+            payloads_b=pay_b,
+            count=count,
+            matched=matched,
         )

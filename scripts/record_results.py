@@ -72,12 +72,21 @@ def main() -> int:
     if args.skew == 0.0:
         # uniform-keys workload (BASELINE.json configs: "uniform keys"):
         # Zipf(0) = uniform; direct randint, no rejection/alias machinery
-        from partitionedhashjoin_tpu.ops.generators import uniform_keys
+        try:
+            from partitionedhashjoin_tpu.ops.generators import uniform_keys
 
-        ids = uniform_keys(
-            jax.random.PRNGKey(args.seed), args.secondary, 1, args.primary
-        )
-        sync(ids)
+            ids = uniform_keys(
+                jax.random.PRNGKey(args.seed), args.secondary, 1, args.primary
+            )
+            sync(ids)  # relay failures usually surface here, post-assignment
+        except Exception as e:  # noqa: BLE001
+            log(f"uniform sampler failed ({type(e).__name__}); host fallback")
+            rng_np = np.random.default_rng(args.seed)
+            ids = jax.device_put(
+                rng_np.integers(
+                    1, args.primary + 1, size=args.secondary, dtype=np.int32
+                )
+            )
     if ids is None:
         try:
             # pure-XLA rejection sampler: no relay transfer, reliable compile
@@ -161,7 +170,12 @@ def main() -> int:
         mesh = make_mesh()  # all local devices (1 on the tunneled chip)
         a_sh = shard_table(table_a, mesh)
         b_sh = shard_table(table_b, mesh)
-        joiner = DistributedShuffleJoiner(mesh, seed=7)
+        # single_shard_fast_path=False: this artifact documents the exchange
+        # machinery itself (bucketize + all_to_all + local join), so the
+        # 1-shard recording must not elide it (shuffle.py fast path)
+        joiner = DistributedShuffleJoiner(
+            mesh, seed=7, single_shard_fast_path=False
+        )
         saved = (table_a, table_b)
         table_a, table_b = a_sh, b_sh
         doc = record(
@@ -173,7 +187,9 @@ def main() -> int:
         columns.append((f"Shuffle_{mesh.devices.size}", doc))
         # pipelined exchange (pre-sorted merge primitive): chunked all_to_all
         # overlapped with per-chunk local joins
-        piped = DistributedShuffleJoiner(mesh, seed=7, pipeline_chunks=4)
+        piped = DistributedShuffleJoiner(
+            mesh, seed=7, pipeline_chunks=4, single_shard_fast_path=False
+        )
         doc = record(
             piped,
             "DistributedShufflePipelined",

@@ -146,3 +146,24 @@ def test_vmem_mode_auto_resolution_and_empty_sides():
     assert joiner.run(empty, some) == 0
     assert joiner.run(some, empty) == 0
     assert joiner.run(empty, empty) == 0
+
+
+def test_vmem_mode_chunked_probe_matches_oracle():
+    """vmem_probe_chunk_rows bounds single-program runtime (the device
+    watchdog gotcha): a probe larger than the chunk target must split into
+    fixed-size overlap-masked windows whose counts sum to the exact
+    oracle — including prime-sized probes that divide nothing."""
+    from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
+
+    rng = np.random.default_rng(11)
+    n_b = 6007  # prime: forces the overlap-masked last window
+    a, b, a_keys, b_keys = _np_tables(rng, n_a=900, n_b=n_b, key_hi=2500)
+    oracle = int(np.isin(b_keys, a_keys).sum())
+    chunked = NoPartitioningHashJoiner(
+        NoPartitioningConfiguration(mode="vmem", vmem_probe_chunk_rows=1000),
+        seed=12,
+        interpret=True,
+    )
+    timer = HashJoinTimer(Parameters())
+    assert chunked.run(a, b, timer) == oracle
+    assert timer.get_result().get_probe_phase_duration() >= 0

@@ -59,6 +59,16 @@ class TestFilter:
         np.testing.assert_array_equal(np.asarray(ft.keys)[:c], keys[sel])
         np.testing.assert_array_equal(np.asarray(ft.payloads)[:c], pay[sel])
 
+    def test_filter_table_zero_tail(self):
+        t = make_table(
+            np.arange(8, dtype=np.int32), np.arange(8, dtype=np.int32) + 1
+        )
+        ft, count = filter_table(t, lambda k, p: k % 2 == 0, zero_tail=True)
+        assert int(count) == 4
+        # zero-padded tail: full-column reductions see only selected rows
+        assert int(np.asarray(ft.payloads).sum()) == 1 + 3 + 5 + 7
+        assert not np.asarray(ft.keys)[4:].any()
+
     def test_all_and_none_selected(self):
         t = make_table(
             np.arange(100, dtype=np.int32), np.arange(100, dtype=np.int32)
@@ -336,3 +346,35 @@ def test_sort_aggregate_zero_capacity_reports_exact_num_groups():
     res = sort_aggregate(t, group_capacity=0)
     assert int(res.num_groups) == 3
     assert res.keys.shape[0] == 0
+
+
+def test_sort_aggregate_sums_stay_int32_under_x64():
+    """Regression (round-2 review): under x64 a bare reduction promotes
+    int32 to int64, silently changing GroupByResult.sum's dtype and breaking
+    the mod-2^32 parity with the hash path for the LAST group (whose sum
+    closes against the total rather than the next group's prefix)."""
+    import jax
+
+    from partitionedhashjoin_tpu.ops.aggregate import (
+        hash_aggregate,
+        sort_aggregate,
+    )
+
+    rng = np.random.default_rng(13)
+    keys = rng.integers(0, 4, 2000).astype(np.int32)
+    pay = rng.integers(2**30, 2**31 - 1, 2000).astype(np.int32)
+    with jax.enable_x64(True):
+        gs = sort_aggregate(make_table(keys, pay))
+        gh = hash_aggregate(make_table(keys, pay), seed=5)
+        assert gs.sum.dtype == np.int32
+        ns, nh = int(gs.num_groups), int(gh.num_groups)
+        assert ns == nh
+        hk = np.asarray(gh.keys)[:nh]
+        order = np.argsort(hk, kind="stable")
+        np.testing.assert_array_equal(
+            np.asarray(gs.sum)[:ns], np.asarray(gh.sum)[:nh][order]
+        )
+        # host oracle: wrapped int32 sums per key
+        for i, k in enumerate(np.asarray(gs.keys)[:ns]):
+            want = np.int32(pay[keys == k].astype(np.int64).sum() & 0xFFFFFFFF)
+            assert np.asarray(gs.sum)[i] == want

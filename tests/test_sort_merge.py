@@ -261,3 +261,25 @@ def test_joiner_run_materialize_join_type():
     assert list(np.asarray(out.keys)[:2]) == [5, 99]
     out = joiner.run_materialize(a, b)  # default stays inner
     assert int(out.count) == 3
+
+
+def test_joiner_run_materialize_left_exposes_matched():
+    """Regression (round-2 review): the driver must surface the NULL
+    indicator — a left join's unmatched row and a matched row whose build
+    payload is legitimately 0 are distinguishable ONLY via ``matched``."""
+    import numpy as np
+    from partitionedhashjoin_tpu.data.table import make_table
+
+    a = make_table(
+        np.array([10, 20], np.int32), np.array([0, 200], np.int32)
+    )  # key 10's build payload is genuinely 0
+    b = make_table(
+        np.array([10, 7, 20], np.int32), np.array([1, 2, 3], np.int32)
+    )
+    out = SortMergeJoiner().run_materialize(a, b, join_type="left")
+    assert int(out.count) == 3
+    assert list(np.asarray(out.payloads_a)) == [0, 0, 200]
+    assert list(np.asarray(out.matched)) == [True, False, True]
+    # inner joins carry it too (all True within count)
+    inner = SortMergeJoiner().run_materialize(a, b)
+    assert np.asarray(inner.matched)[: int(inner.count)].all()
