@@ -104,45 +104,60 @@ def zipf_candidates(u1, u2, alpha: float, cardinality: int, u3=None):
     return sample_i, accepted
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _zipf_round(key: jax.Array, m: int, alpha: float, cardinality: int):
+    """One oversampled rejection round: m candidates, accepted ones
+    compacted to the front IN DRAW ORDER.  Returns (vals int32[m], count).
+
+    The 2-key unstable sort on (rejected-flag, draw position) carries the
+    samples as a value operand; the position tiebreak matters for
+    exactness — sorting accepted samples by *value* and taking a prefix
+    would bias toward small keys, whereas a draw-order prefix of an iid
+    stream is itself iid."""
+    u = jax.random.uniform(key, (3, m), dtype=jnp.float32)
+    sample, ok = zipf_candidates(u[0], u[1], alpha, cardinality, u3=u[2])
+    flag = jnp.where(ok, 0, 1).astype(jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    flag_s, _, vals = jax.lax.sort(
+        (flag, iota, sample), num_keys=2, is_stable=False
+    )
+    return vals, m - jnp.sum(flag_s)
+
+
 def zipf_keys(
     key: jax.Array,
     n: int,
     alpha: float,
     cardinality: int,
-    max_rounds: int = 64,
+    oversample: float = 1.35,
 ) -> jax.Array:
     """n Zipf(alpha) samples over the closed range [1, cardinality], int32.
 
-    Every slot runs an independent rejection chain (Zipf.cpp:31-55); rounds
-    are executed in lockstep until all slots accept.  The proposal is tight,
-    so the expected round count is small (~4-6); ``max_rounds`` bounds the
-    loop for the compiler, and any (probability ~0) never-accepted slot
-    emits key 1 (the initialization value).
+    Oversample-and-compact rejection (Zipf.cpp:31-55 semantics): draw
+    ``oversample * n`` candidates in ONE vectorized round, stable-partition
+    the accepted ones to the front, take the first n.  Measured acceptance
+    is >= 0.82 for alpha in [0.5, 2] (>= 0.96 at the benchmark's 1.05), so
+    one round suffices in practice; a host-level refill loop tops up any
+    shortfall exactly.  Replaces the earlier lockstep all-slots-retry
+    while_loop, which re-ran full-width threefry + pow over all n slots
+    until the LAST slot accepted (~7 rounds, 216 s for the 200M-row bench
+    generate; this formulation runs one 1.35x-wide round + one ~4 ns/el
+    compaction sort).
     """
-
-    def round_body(state):
-        rng, vals, accepted, i = state
-        rng, sub = jax.random.split(rng)
-        u = jax.random.uniform(sub, (3, n), dtype=jnp.float32)
-        sample, ok = zipf_candidates(u[0], u[1], alpha, cardinality, u3=u[2])
-        take = jnp.logical_and(ok, jnp.logical_not(accepted))
-        vals = jnp.where(take, sample, vals)
-        accepted = jnp.logical_or(accepted, ok)
-        return rng, vals, accepted, i + 1
-
-    def cond(state):
-        _, _, accepted, i = state
-        return jnp.logical_and(jnp.logical_not(jnp.all(accepted)), i < max_rounds)
-
-    init = (
-        key,
-        jnp.ones((n,), jnp.int32),
-        jnp.zeros((n,), jnp.bool_),
-        jnp.asarray(0, jnp.int32),
-    )
-    _, vals, _, _ = jax.lax.while_loop(cond, round_body, init)
-    return vals
+    _zipf_params(alpha, cardinality)  # validate alpha (raises early)
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    parts = []
+    remaining = n
+    while remaining > 0:
+        key, sub = jax.random.split(key)
+        m = int(remaining * oversample) + 4096
+        vals, cnt = _zipf_round(sub, m, alpha, cardinality)
+        take = min(int(cnt), remaining)
+        if take > 0:
+            parts.append(jax.lax.slice_in_dim(vals, 0, take))
+            remaining -= take
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

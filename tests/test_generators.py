@@ -221,3 +221,21 @@ def test_zipf_table_method_validation():
         zipf_table(10, 1.05, (1, 100), seed=1, method="bogus")
     with pytest.raises(ValueError):
         zipf_table(10, 1.05, (1, (1 << 25)), seed=1, method="alias")
+
+
+def test_zipf_keys_refill_loop_exact_count_and_range():
+    """A deliberately undersized round (oversample << 1) forces the
+    host-level refill loop; the result must still be exactly n samples in
+    [1, cardinality] with the Zipf shape (most-frequent key is 1)."""
+    from partitionedhashjoin_tpu.ops import generators
+
+    n, card = 30_000, 1000
+    keys = np.asarray(
+        generators.zipf_keys(
+            jax.random.PRNGKey(7), n, 1.05, card, oversample=0.01
+        )
+    )
+    assert keys.shape == (n,)
+    assert keys.min() >= 1 and keys.max() <= card
+    vals, counts = np.unique(keys, return_counts=True)
+    assert vals[np.argmax(counts)] == 1
