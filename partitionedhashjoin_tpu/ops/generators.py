@@ -9,9 +9,9 @@ TPU-native counterparts of src/DataGenerator/:
 - ``zipf_keys`` / ``zipf_table``: Zipf(alpha)-distributed ids over a closed
   range [lo, hi] via the same inverse-CDF-proposal rejection sampler as the
   reference (src/DataGenerator/Zipf.cpp:14-56, after
-  jasoncrease's "Rejection sampling the Zipf distribution"), vectorized: every
-  output slot runs its own accept/reject chain, all slots retry in lockstep
-  until all have accepted.  Randomness is JAX's counter-based threefry instead
+  jasoncrease's "Rejection sampling the Zipf distribution"), vectorized as
+  one oversampled candidate round whose accepted draws are compacted to the
+  front (see ``zipf_keys``).  Randomness is JAX's counter-based threefry instead
   of the per-worker Park-Miller LCG (src/Common/Random.cpp:9-30) — stateful
   sequential generators do not map to SPMD hardware; the distribution is
   identical (equivalence validated in tests against the host LCG sampler).
@@ -249,8 +249,7 @@ def zipf_table(
 
     ``method``: "rejection" (pure-device, the reference's sampler math) or
     "alias" (native host-built Vose tables + two-gather device sampling —
-    exact, and its device program compiles far faster than the rejection
-    while_loop; requires cardinality <= 2^24).
+    exact and rejection-free; requires cardinality <= 2^24).
     """
     lo, hi = key_range
     if lo >= hi:

@@ -28,9 +28,12 @@ SURVEY.md §7 step 3 sanctions exactly this design ("sorted-merge ... instead
 of pointer-chasing HashTables"); the hash-table path (ops/no_partitioning.py)
 remains for materialization and as the general fallback.
 
-Measured single chip (TPU v5e, 10M⋈200M int32): 690 ms ≈ 290M probe rows/s
-end-to-end (unstable 2-key sort + fused Pallas merge-count) — 1.73× the
-reference's best total (167M rows/s at P=2048 on 8C/16T Ryzen, BASELINE.md).
+Measured single chip (TPU v5e, 10M⋈200M int32): 531 ms ≈ 376M probe rows/s
+end-to-end on the joiner's kernel fast path (two unstable 1-key sorts + the
+VMEM merge-probe kernel, ops/merge_join.py) — 2.25× the reference's best
+total (167M rows/s at P=2048 on 8C/16T Ryzen, BASELINE.md); the
+concatenated 2-key sort + merge-count path in this module (the dtype- and
+backend-generic fallback) measures 690 ms (1.73×).
 """
 
 from __future__ import annotations
