@@ -142,6 +142,7 @@ def main() -> None:
     from partitionedhashjoin_tpu.data import host_loader
 
     ids = None
+    gen_path = "rejection"
     try:
         # pure-XLA rejection sampler: no relay transfer, and XLA programs
         # cache reliably in .jax_cache (Pallas custom-call fingerprints do
@@ -155,10 +156,14 @@ def main() -> None:
         ids = zipf_keys(jax.random.PRNGKey(20260816), n_b, skew, n_a)
         sync(ids)
         log(f"  on-device rejection sampler: {time.perf_counter() - t1:.1f}s")
-    except Exception as e:  # noqa: BLE001 - fall back, don't fail the bench
+    except jax.errors.JaxRuntimeError as e:
+        # only backend/runtime failures fall through (relay/compile flakes);
+        # a numerical or API regression in zipf_keys must FAIL the bench, not
+        # silently swap in a different RNG stream
         log(f"  rejection sampler failed ({type(e).__name__}); alias path")
         ids = None  # the failure usually surfaces at sync(), after assignment
     if ids is None and n_a <= (1 << 24):
+        gen_path = "alias"
         from partitionedhashjoin_tpu.ops.generators import zipf_keys_alias
 
         t1 = time.perf_counter()
@@ -173,8 +178,7 @@ def main() -> None:
         sync(ids)
         log(f"  alias sampling program: {time.perf_counter() - t1:.1f}s")
     elif ids is None:
-        import numpy as np
-
+        gen_path = "host"
         ids_np, _ = host_loader.generate_zipf(
             n_b, skew, (1, n_a), seed=20260816
         )
@@ -221,6 +225,7 @@ def main() -> None:
                 "value": round(rows_per_s),
                 "unit": "rows/s",
                 "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
+                "generation_path": gen_path,
                 "roofline_fraction_single_touch": roofline_json,
             }
         )

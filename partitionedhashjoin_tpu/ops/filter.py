@@ -62,17 +62,18 @@ def compact_sort(mask: jax.Array, *columns: jax.Array):
 def filter_table(
     table: Table,
     predicate: Callable[[jax.Array, jax.Array], jax.Array],
-    zero_tail: bool = False,
+    zero_tail: bool = True,
 ) -> Tuple[Table, jax.Array]:
     """Select rows where ``predicate(keys, payloads)`` holds.
 
     Returns ``(compacted_table, count)``; the table keeps the input's static
     size with the selected rows in ``[0, count)`` (original order).  By
-    default rows past ``count`` are the REJECTED rows, also in original
-    order (``compact_sort`` stable-partition semantics — the fast
-    formulation at relation scale).  Pass ``zero_tail=True`` for the
-    zero-padded tail (``compact``) when downstream code reduces over the
-    full static-capacity column without slicing by ``count``.
+    default rows past ``count`` are ZEROS (``compact`` semantics — safe for
+    callers that reduce over the full static-capacity column without slicing
+    by ``count``).  Pass ``zero_tail=False`` for the fast formulation at
+    relation scale (``compact_sort`` stable partition, ~3.9 ns/el total vs
+    ~8.6 ns/el per scattered column): rows past ``count`` are then the
+    REJECTED rows in original order, NOT zeros.
     """
     mask = predicate(table.keys, table.payloads)
     op = compact if zero_tail else compact_sort

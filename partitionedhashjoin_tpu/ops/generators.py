@@ -149,9 +149,15 @@ def zipf_keys(
         return jnp.zeros((0,), jnp.int32)
     parts = []
     remaining = n
+    first_m = int(n * oversample) + 4096
     while remaining > 0:
         key, sub = jax.random.split(key)
         m = int(remaining * oversample) + 4096
+        if remaining < n:
+            # refill rounds: snap the data-dependent shortfall size to a
+            # power of two so rare top-ups reuse a cached compile instead of
+            # paying a fresh 30-200 s remote compile per distinct m
+            m = min(first_m, 1 << (m - 1).bit_length())
         vals, cnt = _zipf_round(sub, m, alpha, cardinality)
         take = min(int(cnt), remaining)
         if take > 0:

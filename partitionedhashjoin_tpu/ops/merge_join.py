@@ -61,6 +61,15 @@ def two_run_count(
     Mosaic's lowering re-traces reductions under the global dtype config
     and rejects the 64-bit converts that sneak in (see merge_probe).
     """
+    for name, arr in (("build_keys", build_keys), ("probe_keys", probe_keys)):
+        dt = jnp.asarray(arr).dtype
+        if dt in (jnp.int64, jnp.uint64):
+            # never silently truncate 64-bit keys (distinct keys would
+            # collide and miscount) — same contract as hash_table._as_i32_keys
+            raise TypeError(
+                f"two_run_count is the int32 path ({name} is {dt}); "
+                "use two_run_count_i64 for 64-bit keys"
+            )
     if jax.config.jax_enable_x64:
         from jax._src.config import enable_x64 as _enable_x64
 
