@@ -1,0 +1,359 @@
+"""Mosaic bitonic block sort + pairwise merge passes: the hand-written
+sorter that attacks XLA's 2.1 ns/el unstable-sort floor (the partition step
+of the flagship two-run join — docs/PERFORMANCE.md "Roofline accounting").
+
+Why this shape (the round-2 blocker analysis only considered scatter-shaped
+reorders): a MERGE of two sorted runs writes its output *sequentially* — no
+per-lane scatter — and the concatenation of an ascending run with a reversed
+(descending) run is a BITONIC sequence, so a fixed log2(m)-stage
+compare-exchange network sorts it with in-row gathers and static sublane
+moves only, all Mosaic-legal.  The full sorter:
+
+  phase A  ``sort_blocks_i32``: each 8192-element block (64 sublanes x 128
+           lanes, row-major flat order) sorted by a 91-stage bitonic
+           network entirely in registers.  Compare-exchange partners are
+           ``i XOR d``: lane distances (d < 128) via one in-row
+           ``take_along_axis`` with a static XOR index; sublane distances
+           via a static middle-axis flip (rows reshaped to (G, 2, dr)).
+  phase B  ``merge_pass_i32``: pairwise merge of sorted runs.  Output
+           block w (8192 ranks of the merged pair) takes a window of run A
+           and a window of run B located by a *diagonal* (merge-path)
+           binary search at the XLA level — two num_blocks-sized gathers
+           per search round, NOT per data element.  The kernel DMAs both
+           windows at 128-aligned offsets, rotates away the misalignment
+           in registers (one in-row gather + a row-shifted select — the
+           only dynamic cross-row move Mosaic grants), overlays the
+           reversed B window behind the A prefix (ascending-then-descending
+           = bitonic for ANY split point), and runs the 13-stage bitonic
+           merge before one sequential aligned write.
+
+Unstable pure-key sort semantics (like the flagship's partition step); the
+merge rule "A wins ties" makes the diagonal search's predicate monotone.
+Out-of-range reads behave as +INT32_MAX, which makes truncated tail pairs
+(array length not a multiple of the pair span) and lone tail runs (odd run
+count) correct with no special cases: a lone run merges against an empty B
+and copies through.
+
+Reference context: the radix fan-out exists to make data movement cheap
+(src/RadixCluster/HashJoin.hpp:333-440); this sorter is the TPU engine's
+equivalent investment in its own partition phase.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROWS = 64  # sublanes per block
+BLK = ROWS * LANES  # 8192 elements per block
+LOG_BLK = 13
+_I32_MAX = jnp.iinfo(jnp.int32).max
+_I32_MIN = jnp.iinfo(jnp.int32).min
+
+
+def _flat_iota(rows: int = ROWS):
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    return r * LANES + l
+
+
+def _partner(x, d: int):
+    """x[i XOR d] over the whole (ROWS, LANES) block, static distance d."""
+    if d < LANES:
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) ^ d
+        return jnp.take_along_axis(x, idx, axis=1)
+    dr = d // LANES
+    g = x.shape[0] // (2 * dr)
+    return jnp.flip(x.reshape(g, 2, dr, LANES), axis=1).reshape(x.shape)
+
+
+def _compare_exchange(x, take_min, d: int):
+    p = _partner(x, d)
+    return jnp.where(take_min, jnp.minimum(x, p), jnp.maximum(x, p))
+
+
+def _bitonic_sort_block(x):
+    """91-stage bitonic sort of one (ROWS, LANES) block, flat row-major."""
+    i = _flat_iota()
+    for k in range(1, LOG_BLK + 1):
+        up = ((i >> k) & 1) == 0  # ascending region at this merge level
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            take_min = up == ((i & d) == 0)
+            x = _compare_exchange(x, take_min, d)
+    return x
+
+
+def _bitonic_merge_block(x):
+    """13-stage ascending bitonic merge of one (ROWS, LANES) block whose
+    flat content is bitonic (ascending prefix + descending suffix)."""
+    i = _flat_iota()
+    for j in range(LOG_BLK - 1, -1, -1):
+        d = 1 << j
+        take_min = (i & d) == 0
+        x = _compare_exchange(x, take_min, d)
+    return x
+
+
+def _sort_blocks_kernel(x_ref, o_ref):
+    o_ref[...] = _bitonic_sort_block(x_ref[...])
+
+
+def _sort_blocks(x, interpret: bool):
+    n = x.shape[0]
+    num_blocks = n // BLK
+    out = pl.pallas_call(
+        _sort_blocks_kernel,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((ROWS, LANES), lambda w: (w, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((ROWS, LANES), lambda w: (w, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * ROWS, LANES), jnp.int32),
+        interpret=interpret,
+    )(x.reshape(num_blocks * ROWS, LANES))
+    return out.reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sort_blocks_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Sort each consecutive 8192-element block of ``x`` ascending (int32,
+    length a BLK multiple — pad with INT32_MAX upstream).  Phase A."""
+    assert x.shape[0] % BLK == 0, "pad to a BLK multiple first"
+    return _sort_blocks(x, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Phase B: pairwise merge passes.
+# ---------------------------------------------------------------------------
+
+
+def _diag_search(x, boundaries, base_a, base_b, run_len, rounds: int):
+    """Merge-path split: elements of A consumed before each boundary.
+
+    For each output boundary ``g`` (offset within its pair; ``base_a``/
+    ``base_b`` are the pair's run starts), find
+
+        i* = max{ i in [max(0, g-run_len), min(g, run_len)] :
+                  A[i-1] <= B[g-i] }
+
+    under "A wins ties" merge semantics (predicate monotone decreasing in
+    i; true at the lower bound).  Out-of-range reads are +/-inf: A[-1] is
+    -inf; any index past the array end is +inf (padding).
+    """
+    n = x.shape[0]
+    g = boundaries
+    lo = jnp.maximum(jnp.int32(0), g - run_len)
+    hi = jnp.minimum(g, run_len)
+
+    def read(idx, oob_hi_mask):
+        v = x[jnp.clip(idx, 0, n - 1)]
+        return jnp.where(oob_hi_mask | (idx >= n), _I32_MAX, v)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi  # converged searches must not move again
+        mid = (lo + hi + 1) >> 1  # candidate in [lo+1, hi] when active
+        a_idx = base_a + mid - 1
+        a_val = read(a_idx, jnp.zeros_like(a_idx, jnp.bool_))
+        j = g - mid  # in [0, run_len) when active
+        b_idx = base_b + j
+        b_val = read(b_idx, j >= run_len)
+        ok = a_val <= b_val
+        lo = jnp.where(active & ok, mid, lo)
+        hi = jnp.where(active & ~ok, mid - 1, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+    return lo
+
+
+def _merge_kernel(
+    astart_ref,  # scalar prefetch: int32[W] aligned A window start row
+    arot_ref,  # scalar prefetch: int32[W] rotation in [0, 128)
+    atake_ref,  # scalar prefetch: int32[W] A elements in this block
+    bstart_ref,  # scalar prefetch: int32[W] aligned B window start row
+    brot_ref,  # scalar prefetch: int32[W]
+    x_hbm,  # int32[n_rows + pad, 128] padded input (stays in HBM)
+    o_ref,  # int32[ROWS, 128] output block
+    awin,  # VMEM scratch (2, ROWS + 1, LANES): double-buffered A windows
+    bwin,  # VMEM scratch (2, ROWS + 1, LANES)
+    sems,  # DMA semaphores (2, 2)
+):
+    w = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+    slot = jax.lax.rem(w, 2)
+    nxt = jax.lax.rem(w + 1, 2)
+
+    @pl.when(w == 0)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(astart_ref[0], ROWS + 1)], awin.at[0],
+            sems.at[0, 0],
+        ).start()
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bstart_ref[0], ROWS + 1)], bwin.at[0],
+            sems.at[0, 1],
+        ).start()
+
+    @pl.when(w + 1 < num_steps)
+    def _():
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(astart_ref[w + 1], ROWS + 1)], awin.at[nxt],
+            sems.at[nxt, 0],
+        ).start()
+        pltpu.make_async_copy(
+            x_hbm.at[pl.ds(bstart_ref[w + 1], ROWS + 1)], bwin.at[nxt],
+            sems.at[nxt, 1],
+        ).start()
+
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(astart_ref[w], ROWS + 1)], awin.at[slot],
+        sems.at[slot, 0],
+    ).wait()
+    pltpu.make_async_copy(
+        x_hbm.at[pl.ds(bstart_ref[w], ROWS + 1)], bwin.at[slot],
+        sems.at[slot, 1],
+    ).wait()
+
+    a = _rotate_left(awin[slot], arot_ref[w])
+    b = _rotate_left(bwin[slot], brot_ref[w])
+    # Overlay: flat m < a_take -> A[a_pos + m] (ascending);
+    # m >= a_take -> rev(B)[m] = B[b_pos + BLK-1-m] (descending), whose
+    # LAST consumed element (m = a_take) is the block's last B element.
+    # asc-then-desc = bitonic for any split point, padding included.
+    b_rev = jnp.flip(b, axis=(0, 1))
+    i = _flat_iota()
+    merged = jnp.where(i < atake_ref[w], a, b_rev)
+    o_ref[...] = _bitonic_merge_block(merged)
+
+
+def _rotate_left(win, r):
+    """Drop the first ``r`` (dynamic, 0..127) elements of the flat
+    row-major (ROWS+1, LANES) window: out[i] = win_flat[i + r].
+
+    Cross-row dynamic shifts are not a Mosaic primitive; the legal form is
+    one in-row gather with a uniform dynamic index vector (rotate lanes by
+    r) plus a select between each row and its successor (static row move).
+    """
+    l = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
+    idx = l + r
+    wrap = idx >= LANES  # element lives in the next row after rotation
+    idx = jnp.where(wrap, idx - LANES, idx)
+    rotated = jnp.take_along_axis(win, idx, axis=1)
+    nxt = jnp.concatenate([rotated[1:], rotated[:1]], axis=0)
+    return jnp.where(wrap[:ROWS], nxt[:ROWS], rotated[:ROWS])
+
+
+def _merge_pass(x, run_len, interpret: bool, rounds: int = 31):
+    """One pairwise merge pass: sorted runs of ``run_len`` (traced int32
+    scalar, power-of-two multiple of BLK) -> sorted runs of 2*run_len.
+    ``x`` length must be a BLK multiple."""
+    n = x.shape[0]
+    num_blocks = n // BLK
+
+    blk_idx = jnp.arange(num_blocks, dtype=jnp.int32)
+    g_global = blk_idx * BLK
+    pair = g_global // (2 * run_len)
+    base_a = pair * (2 * run_len)
+    base_b = base_a + run_len
+    g = g_global - base_a  # boundary offset within the pair
+
+    a_excl = _diag_search(x, g, base_a, base_b, run_len, rounds)
+    # A consumed by block END: the next block's a_excl while inside the
+    # pair; at the pair's last EMITTED block the merge path has consumed
+    # min(run_len, n - base_a) A elements (all of A, or everything when B
+    # is empty/truncated — padding reads as +inf so A drains first only up
+    # to its real content, but run_len-capped either way).
+    nxt_excl = jnp.concatenate([a_excl[1:], a_excl[:1]])
+    last_emitted = (g + BLK >= 2 * run_len) | (g_global + BLK >= n)
+    a_end = jnp.where(
+        last_emitted, jnp.minimum(run_len, jnp.int32(n) - base_a), nxt_excl
+    )
+    a_take = a_end - a_excl  # this block's A element count, in [0, BLK]
+
+    a_pos = base_a + a_excl
+    b_pos = base_b + g - a_excl
+    astart = a_pos // LANES
+    arot = a_pos % LANES
+    bstart = b_pos // LANES
+    brot = b_pos % LANES
+
+    # fixed-size (ROWS+1)-row windows may reach past the data: pad with
+    # +inf rows (never selected into the merge output's real ranks)
+    n_rows = n // LANES
+    pad_rows = ROWS + 2
+    x_rows = jnp.full((n_rows + pad_rows, LANES), _I32_MAX, jnp.int32)
+    x_rows = jax.lax.dynamic_update_slice(
+        x_rows, x.reshape(n_rows, LANES), (0, 0)
+    )
+    hi_row = n_rows + pad_rows - (ROWS + 1)
+    astart = jnp.clip(astart, 0, hi_row)
+    bstart = jnp.clip(bstart, 0, hi_row)
+
+    out = pl.pallas_call(
+        _merge_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(num_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (ROWS, LANES), lambda w, *_: (w, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ROWS + 1, LANES), jnp.int32),
+                pltpu.VMEM((2, ROWS + 1, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_blocks * ROWS, LANES), jnp.int32),
+        interpret=interpret,
+    )(astart, arot, a_take, bstart, brot, x_rows)
+    return out.reshape(n)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_pass_i32(
+    x: jax.Array, run_len: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Jitted single merge pass (tests / incremental use).  ``run_len`` is
+    traced, so every pass of a sort shares one compiled program."""
+    return _merge_pass(x, jnp.asarray(run_len, jnp.int32), interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sort_padded(xp: jax.Array, interpret: bool = False) -> jax.Array:
+    """Block sort + all merge passes in ONE program (a dispatch through the
+    relay costs ~25 ms; 15 passes must not pay it 15 times)."""
+    n = xp.shape[0]
+    num_blocks = n // BLK
+    xp = _sort_blocks(xp, interpret)
+    passes = max(num_blocks - 1, 0).bit_length()  # ceil(log2(num_blocks))
+
+    def body(p, x):
+        run_len = jax.lax.shift_left(jnp.int32(BLK), p)
+        return _merge_pass(x, run_len, interpret)
+
+    return jax.lax.fori_loop(0, passes, body, xp)
+
+
+def sort_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Full unstable key sort: phase A block sort + ceil(log2(blocks))
+    pairwise merge passes, one fused program.  Any length (pads with
+    INT32_MAX — correct for the full int32 domain: padding only adds extra
+    maximal elements whose multiset position is interchangeable with any
+    genuine INT32_MAX keys)."""
+    n = x.shape[0]
+    if n == 0:
+        return jnp.asarray(x, jnp.int32)
+    padded = (n + BLK - 1) // BLK * BLK
+    xp = jnp.full((padded,), _I32_MAX, jnp.int32)
+    xp = jax.lax.dynamic_update_slice(xp, jnp.asarray(x, jnp.int32), (0,))
+    return _sort_padded(xp, interpret=interpret)[:n]

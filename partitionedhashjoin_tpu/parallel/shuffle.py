@@ -555,17 +555,30 @@ def plan_hot_keys(
 ):
     """Sample-based heavy-hitter detection (SURVEY.md §7 step 7).
 
-    Strided sample of ``sample_size`` keys → GROUP BY count → top
+    Hashed-position sample of ``sample_size`` keys → GROUP BY count → top
     ``capacity`` keys with sample frequency ≥ ``min_frac``.  Returns
-    (hot_keys int32[capacity], hot_valid bool[capacity]); deterministic, so
-    every host computes the same plan.
+    (hot_keys int32[capacity], hot_valid bool[capacity]); deterministic
+    given ``seed``, so every host computes the same plan.
+
+    Sample positions are one per stride window, at a per-window hashed
+    phase (position i*stride + hash(seed, i) % stride) — a plain
+    stride-from-0 sample is blind to position-correlated inputs (e.g. a
+    key-sorted relation whose hot keys sit in contiguous runs between the
+    stride points, or an adversarial first-rows-special layout), while a
+    hashed phase keeps full-window coverage AND positional randomness.
     """
     from partitionedhashjoin_tpu.ops.aggregate import _group_and_aggregate
+    from partitionedhashjoin_tpu.ops.hashing import hash32
 
     n = keys.shape[0]
     stride = max(1, n // sample_size)
-    sample = jax.lax.slice(keys, (0,), (min(n, stride * sample_size),), (stride,))
-    m = sample.shape[0]
+    m = min(n, sample_size)
+    win = jnp.arange(m, dtype=jnp.int32)
+    phase = (
+        hash32(win, seed=(seed ^ 0x5EED) & 0xFFFFFFFF) % jnp.uint32(stride)
+    ).astype(jnp.int32)
+    pos = jnp.minimum(win * stride + phase, n - 1)
+    sample = keys[pos]
     g = _group_and_aggregate(
         sample,
         jnp.zeros((m,), jnp.int32),

@@ -1,0 +1,141 @@
+"""Pallas bitonic/merge sorter (ops/pallas/bitonic_sort.py), interpret mode.
+
+Oracle: np.sort — the sorter is an unstable pure-key sort, so sorted output
+must be exactly equal.  Covers block sorting, single merge passes at every
+run length, truncated tail pairs / lone runs, the full-domain extremes
+(INT32_MIN/MAX as genuine keys vs padding), and duplicate-heavy (Zipf-like)
+distributions where diagonal-search tie handling matters.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.ops.pallas import bitonic_sort as bs
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+class TestBlockSort:
+    def test_single_block_random(self):
+        x = _rng(0).integers(-(2**31), 2**31, size=bs.BLK, dtype=np.int32)
+        got = np.asarray(bs.sort_blocks_i32(jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_many_blocks_sorted_independently(self):
+        n = 4 * bs.BLK
+        x = _rng(1).integers(-100, 100, size=n, dtype=np.int32)
+        got = np.asarray(bs.sort_blocks_i32(jnp.asarray(x), interpret=True))
+        for b in range(4):
+            blk = slice(b * bs.BLK, (b + 1) * bs.BLK)
+            np.testing.assert_array_equal(got[blk], np.sort(x[blk]))
+
+    def test_extreme_values(self):
+        x = np.full(bs.BLK, np.iinfo(np.int32).max, dtype=np.int32)
+        x[:100] = np.iinfo(np.int32).min
+        x[100:200] = 0
+        shuf = _rng(2).permutation(x)
+        got = np.asarray(
+            bs.sort_blocks_i32(jnp.asarray(shuf), interpret=True)
+        )
+        np.testing.assert_array_equal(got, np.sort(x))
+
+
+class TestMergePass:
+    @pytest.mark.parametrize("num_runs,dup_range", [
+        (2, 2**31), (2, 50), (4, 1000), (8, 3),
+    ])
+    def test_merge_sorted_runs(self, num_runs, dup_range):
+        run = bs.BLK
+        n = num_runs * run
+        r = _rng(num_runs * 7 + dup_range % 97)
+        x = r.integers(-dup_range, dup_range, size=n, dtype=np.int32)
+        runs = x.reshape(num_runs, run)
+        runs.sort(axis=1)
+        x = runs.reshape(n)
+        got = np.asarray(
+            bs.merge_pass_i32(jnp.asarray(x), run, interpret=True)
+        )
+        for p in range(num_runs // 2):
+            seg = slice(p * 2 * run, (p + 1) * 2 * run)
+            np.testing.assert_array_equal(got[seg], np.sort(x[seg]))
+
+    def test_lone_tail_run_copies_through(self):
+        run = bs.BLK
+        n = 3 * run  # pair (0,1) + lone run 2
+        x = _rng(11).integers(-1000, 1000, size=n, dtype=np.int32)
+        runs = x.reshape(3, run)
+        runs.sort(axis=1)
+        x = runs.reshape(n)
+        got = np.asarray(
+            bs.merge_pass_i32(jnp.asarray(x), run, interpret=True)
+        )
+        np.testing.assert_array_equal(got[: 2 * run], np.sort(x[: 2 * run]))
+        np.testing.assert_array_equal(got[2 * run :], x[2 * run :])
+
+    def test_longer_runs_multiple_blocks(self):
+        run = 4 * bs.BLK
+        n = 2 * run
+        x = _rng(12).integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        runs = x.reshape(2, run)
+        runs.sort(axis=1)
+        x = runs.reshape(n)
+        got = np.asarray(
+            bs.merge_pass_i32(jnp.asarray(x), run, interpret=True)
+        )
+        np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_skewed_duplicates_across_boundaries(self):
+        # one value dominates: diagonal splits land inside huge tie runs
+        run = 2 * bs.BLK
+        n = 4 * run
+        r = _rng(13)
+        x = np.where(
+            r.random(n) < 0.7, 42, r.integers(-50, 50, size=n)
+        ).astype(np.int32)
+        runs = x.reshape(4, run)
+        runs.sort(axis=1)
+        x = runs.reshape(n)
+        got = np.asarray(
+            bs.merge_pass_i32(jnp.asarray(x), run, interpret=True)
+        )
+        for p in range(2):
+            seg = slice(p * 2 * run, (p + 1) * 2 * run)
+            np.testing.assert_array_equal(got[seg], np.sort(x[seg]))
+
+
+class TestFullSort:
+    @pytest.mark.parametrize("n", [
+        1, 100, bs.BLK, bs.BLK + 1, 3 * bs.BLK - 5, 8 * bs.BLK,
+        5 * bs.BLK + 17,
+    ])
+    def test_random_lengths(self, n):
+        x = _rng(n).integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        got = np.asarray(bs.sort_i32(jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_genuine_int32_max_keys_survive_padding(self):
+        n = 2 * bs.BLK + 100
+        x = _rng(21).integers(-5, 5, size=n, dtype=np.int32)
+        x[::97] = np.iinfo(np.int32).max
+        got = np.asarray(bs.sort_i32(jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_zipf_like_distribution(self):
+        n = 4 * bs.BLK + 333
+        r = _rng(22)
+        x = (r.zipf(1.3, size=n) % 10_000).astype(np.int32)
+        got = np.asarray(bs.sort_i32(jnp.asarray(x), interpret=True))
+        np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_already_sorted_and_reversed(self):
+        n = 3 * bs.BLK
+        x = np.arange(n, dtype=np.int32)
+        np.testing.assert_array_equal(
+            np.asarray(bs.sort_i32(jnp.asarray(x), interpret=True)), x
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bs.sort_i32(jnp.asarray(x[::-1]), interpret=True)), x
+        )

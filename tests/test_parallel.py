@@ -111,6 +111,25 @@ def test_plan_hot_keys_finds_the_zipf_head(mesh8):
         assert (keys == k).sum() > 32768 * 0.005
 
 
+def test_plan_hot_keys_positionally_adversarial_input(mesh8):
+    # A stride-from-0 sample is blind to this layout: the hot key fills
+    # half of EVERY stride window but never sits at a multiple of the
+    # stride.  sample_size=256 over n=65536 -> stride=256; key 7 occupies
+    # positions [i*256+1, i*256+129) for every window i (50% of all rows).
+    n = 65536
+    stride = 256
+    keys = np.arange(n, dtype=np.int32) % 50_000 + 1000
+    off = np.arange(n) % stride
+    keys[(off >= 1) & (off < 129)] = 7
+    assert keys[::stride].tolist().count(7) == 0  # the old sampler's view
+    hot_keys, hot_valid = plan_hot_keys(
+        jnp.asarray(keys), sample_size=256, capacity=16,
+        min_frac=0.05, seed=3,
+    )
+    hot = set(np.asarray(hot_keys)[np.asarray(hot_valid)].tolist())
+    assert 7 in hot
+
+
 def test_timer_phases_recorded_hash_local_join(mesh8):
     a = shard_table(sequential_table(2048), mesh8)
     b = shard_table(
