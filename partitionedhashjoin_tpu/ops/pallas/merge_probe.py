@@ -344,6 +344,221 @@ def ranged_merge_count(
 
 
 # ---------------------------------------------------------------------------
+# Materializing variant: per probe element, the matched build payload and
+# sorted-build position (sequential VMEM writes — the output-placement step
+# that makes materialization scale; the round-2 XLA path paid relation-sized
+# scatter-sets and a 200M-row payload gather instead, VERDICT_r02 missing #3).
+# ---------------------------------------------------------------------------
+
+
+def _tile_match_pos(tile, q, length):
+    """int32 q.shape: flat in-tile position of the FIRST key equal to q
+    among the tile's first ``length`` keys, or -1.  Same two-level search
+    as ``_tile_member_mask``; the downward row scan keeps the smallest
+    position, making the duplicate-key match deterministic (lowest sorted
+    position wins)."""
+    maxima = jnp.broadcast_to(tile[SUBL - 1 : SUBL, :], q.shape)
+    lo = jnp.zeros(q.shape, jnp.int32)
+    hi = jnp.full(q.shape, LANES, jnp.int32)
+    for _ in range(8):
+        mid = jax.lax.shift_right_logical(lo + hi, jnp.int32(1))
+        go_right = jnp.take_along_axis(maxima, mid, axis=1) < q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    t = jnp.minimum(lo, LANES - 1)
+    pos = jnp.full(q.shape, -1, jnp.int32)
+    base = t * SUBL
+    for r in range(SUBL - 1, -1, -1):
+        row_r = jnp.broadcast_to(tile[r : r + 1, :], q.shape)
+        val = jnp.take_along_axis(row_r, t, axis=1)
+        pos = jnp.where((val == q) & (base + r < length), base + r, pos)
+    return pos
+
+
+def _ranged_payload_kernel(
+    blk_ref, tile_ref, len_ref, plast_ref, pvalid_ref,
+    a_hbm,  # int32[n_tiles, SUBL, 128] tiled build keys (HBM)
+    apay_hbm,  # int32[n_tiles, SUBL, 128] tiled build payloads (HBM)
+    b_ref,  # int32[BLOCK_ROWS, 128] probe block (VMEM)
+    pay_ref,  # OUT int32[BLOCK_ROWS, 128] matched payload (0 if miss)
+    pos_ref,  # OUT int32[BLOCK_ROWS, 128] matched sorted-A position + 1
+    tile_vmem,  # VMEM scratch (2, 2, SUBL, 128): [slot][key/pay]
+    sem,  # DMA semaphores (2, 2)
+):
+    """Like ``_ranged_count_kernel`` but emits, per probe element, the
+    matched build payload and flat sorted position (+1; 0 = miss).  Output
+    blocks are revisited by consecutive work items of the same probe block
+    (the work list is block-ordered), so each item initializes on first
+    visit and overlays its tile's matches after."""
+    w = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+    slot = jax.lax.rem(w, 2)
+    nxt = jax.lax.rem(w + 1, 2)
+
+    @pl.when(w == 0)
+    def _():
+        pltpu.make_async_copy(
+            a_hbm.at[tile_ref[0]], tile_vmem.at[0, 0], sem.at[0, 0]
+        ).start()
+        pltpu.make_async_copy(
+            apay_hbm.at[tile_ref[0]], tile_vmem.at[0, 1], sem.at[0, 1]
+        ).start()
+
+    @pl.when(w + 1 < num_steps)
+    def _():
+        pltpu.make_async_copy(
+            a_hbm.at[tile_ref[w + 1]], tile_vmem.at[nxt, 0], sem.at[nxt, 0]
+        ).start()
+        pltpu.make_async_copy(
+            apay_hbm.at[tile_ref[w + 1]], tile_vmem.at[nxt, 1],
+            sem.at[nxt, 1],
+        ).start()
+
+    pltpu.make_async_copy(
+        a_hbm.at[tile_ref[w]], tile_vmem.at[slot, 0], sem.at[slot, 0]
+    ).wait()
+    pltpu.make_async_copy(
+        apay_hbm.at[tile_ref[w]], tile_vmem.at[slot, 1], sem.at[slot, 1]
+    ).wait()
+
+    first_visit = jnp.logical_or(
+        w == 0, blk_ref[jnp.maximum(w - 1, 0)] != blk_ref[w]
+    )
+
+    @pl.when(first_visit)
+    def _():
+        pay_ref[...] = jnp.zeros_like(pay_ref)
+        pos_ref[...] = jnp.zeros_like(pos_ref)
+
+    q = b_ref[:]
+    pos = _tile_match_pos(tile_vmem[slot, 0], q, len_ref[w])
+    first_run = (q > plast_ref[w]) | (pvalid_ref[w] == 0)
+    hit = (pos >= 0) & first_run
+    # payload at the matched in-tile position: row = pos % SUBL (sublane),
+    # lane = pos // SUBL — same layout as the key search, SUBL row gathers
+    lane = jax.lax.div(jnp.maximum(pos, 0), jnp.int32(SUBL))
+    sub = jax.lax.rem(jnp.maximum(pos, 0), jnp.int32(SUBL))
+    pay = jnp.zeros(q.shape, jnp.int32)
+    for r in range(SUBL):
+        row_r = jnp.broadcast_to(tile_vmem[slot, 1, r : r + 1, :], q.shape)
+        pay = jnp.where(
+            sub == r, jnp.take_along_axis(row_r, lane, axis=1), pay
+        )
+    gpos = tile_ref[w] * CAP
+    pay_ref[...] = jnp.where(hit, pay, pay_ref[...])
+    pos_ref[...] = jnp.where(hit, gpos + pos + 1, pos_ref[...])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "exclude_int32_max")
+)
+def ranged_merge_payload_prepared(
+    a_sorted: jax.Array,
+    a_payloads: jax.Array,
+    b_sorted: jax.Array,
+    exclude_int32_max: bool = False,
+    interpret: bool = False,
+):
+    """Per-probe-row first-match materialization against a sorted build:
+
+    returns ``(pay, pos)`` int32 arrays of ``b_sorted``'s shape — ``pos``
+    is 1 + the matched flat position in ``a_sorted`` (0 = no match; the
+    FIRST equal position wins, deterministic under duplicate build keys),
+    ``pay`` the matched build payload (0 for misses; disambiguate with
+    ``pos``).  ``a_payloads`` rides in tiles exactly like the i64 plane
+    pair.  Probe padding rows report pos=0.
+    """
+    n_a = a_sorted.shape[0]
+    n_b = b_sorted.shape[0]
+    if n_a == 0 or n_b == 0:
+        z = jnp.zeros((n_b,), jnp.int32)
+        return z, z
+
+    padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
+    b_pad = jnp.full((padded_b,), _I32_MAX, jnp.int32)
+    b_pad = jax.lax.dynamic_update_slice(
+        b_pad, b_sorted.astype(jnp.int32), (0,)
+    )
+    num_blocks = padded_b // BLOCK
+
+    tiles, n_tiles = tile_build_side(a_sorted)
+    pay_pad = jnp.zeros((n_tiles * CAP,), jnp.int32)
+    pay_pad = jax.lax.dynamic_update_slice(
+        pay_pad, a_payloads.astype(jnp.int32), (0,)
+    )
+    pay_tiles = pay_pad.reshape(n_tiles, LANES, SUBL).transpose(0, 2, 1)
+    a_flat = tiles.transpose(0, 2, 1).reshape(-1)
+
+    firsts = b_pad[::BLOCK]
+    lasts = b_pad[BLOCK - 1 :: BLOCK]
+    a32 = a_sorted.astype(jnp.int32)
+    lo = jnp.searchsorted(a32, firsts, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(a32, lasts, side="right").astype(jnp.int32)
+    if exclude_int32_max:
+        limit = jnp.searchsorted(
+            a32, jnp.asarray(_I32_MAX, jnp.int32), side="left"
+        ).astype(jnp.int32)
+        lo = jnp.minimum(lo, limit)
+        hi = jnp.minimum(hi, limit)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), a_flat[1:] != a_flat[:-1]]
+    )
+    blk, tile_w, len_w = _work_items(run_start, lo, hi, n_tiles, num_blocks)
+    gpos = tile_w * CAP
+    prev_valid = (gpos > 0).astype(jnp.int32)
+    prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
+
+    from jax._src.config import enable_x64 as _enable_x64
+
+    with _enable_x64(False):
+        pay, pos = pl.pallas_call(
+            _ranged_payload_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(blk.shape[0],),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(
+                        (BLOCK_ROWS, LANES),
+                        lambda w, blk_ref, *_: (blk_ref[w], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (BLOCK_ROWS, LANES),
+                        lambda w, blk_ref, *_: (blk_ref[w], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (BLOCK_ROWS, LANES),
+                        lambda w, blk_ref, *_: (blk_ref[w], 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, 2, SUBL, LANES), jnp.int32),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (BLOCK_ROWS * num_blocks, LANES), jnp.int32
+                ),
+                jax.ShapeDtypeStruct(
+                    (BLOCK_ROWS * num_blocks, LANES), jnp.int32
+                ),
+            ],
+            interpret=interpret,
+        )(blk, tile_w, len_w, prev_last, prev_valid, tiles, pay_tiles, b_pad.reshape(BLOCK_ROWS * num_blocks, LANES))
+
+    pay = pay.reshape(-1)[:n_b]
+    pos = pos.reshape(-1)[:n_b]
+    return pay, pos
+
+
+# ---------------------------------------------------------------------------
 # int64 keys: hi/lo int32 plane pairs with lexicographic compare.
 #
 # The reference's Tuple::id is int64 (src/Common/Table.hpp:20-25).  Mosaic

@@ -202,13 +202,31 @@ def sort_merge_materialize(
     return keys_out, pay_a, pay_b, count
 
 
-def _match_probe_rows(build_keys, probe_keys):
-    """(hit, build_row) per probe row: whether its key exists among build
-    keys and, if so, the matching build row (latest in sorted order —
-    deterministic; the reference's ``Get`` picks an arbitrary chain-order
-    first match, HashJoin.hpp:159-180)."""
+def _match_probe_rows(build_keys, probe_keys, build_payloads=None):
+    """(hit, build_row[, pay_a]) per probe row: whether its key exists
+    among build keys and, if so, the matching build row (latest in sorted
+    order — deterministic; the reference's ``Get`` picks an arbitrary
+    chain-order first match, HashJoin.hpp:159-180).
+
+    Movement-wise everything rides sorts and streaming scans (primitive
+    table, docs/PERFORMANCE.md): the round-2 formulation paid a
+    relation-sized gather (``row_s[last_build_pos]``, ~17 ns/el) plus two
+    relation-sized scatter-sets (8.6 ns/el each) for placement; build
+    row/payload now propagate by an O(n)-work ``associative_scan``
+    forward-fill and return to probe-row order through one value-carrying
+    sort.  Passing ``build_payloads`` carries the matched payload through
+    the same two sorts, replacing the payload gather as well.
+    """
     n_a = build_keys.shape[0]
     n_b = probe_keys.shape[0]
+    with_pay_early = build_payloads is not None
+    if n_a == 0 or n_b == 0:
+        hit = jnp.zeros((n_b,), jnp.bool_)
+        row = jnp.zeros((n_b,), jnp.int32)
+        if with_pay_early:
+            pay_dt = jnp.asarray(build_payloads).dtype if n_a else jnp.int32
+            return hit, row, jnp.zeros((n_b,), pay_dt)
+        return hit, row
     dtype = _key_dtype(build_keys, probe_keys)
     kmin = jnp.iinfo(dtype).min
     keys = jnp.concatenate(
@@ -223,33 +241,58 @@ def _match_probe_rows(build_keys, probe_keys):
             jnp.arange(n_b, dtype=jnp.int32),
         ]
     )
+    with_pay = build_payloads is not None
     # num_keys=3 keeps full determinism without stability: within a key,
     # builds (tag False) precede probes, then ascending original row — so
     # "latest build position" is the highest-numbered build row of the key
-    keys_s, tag_s, row_s = jax.lax.sort(
-        (keys, ~is_build, orig_row), num_keys=3, is_stable=False
-    )
+    operands = (keys, ~is_build, orig_row)
+    if with_pay:
+        pay_col = jnp.concatenate(
+            [
+                jnp.asarray(build_payloads),
+                jnp.zeros((n_b,), jnp.asarray(build_payloads).dtype),
+            ]
+        )
+        keys_s, tag_s, row_s, pay_s = jax.lax.sort(
+            operands + (pay_col,), num_keys=3, is_stable=False
+        )
+    else:
+        keys_s, tag_s, row_s = jax.lax.sort(
+            operands, num_keys=3, is_stable=False
+        )
     is_build_s = ~tag_s
-    total = n_a + n_b
-    pos = jnp.arange(total, dtype=jnp.int32)
-    last_build_pos = jax.lax.cummax(jnp.where(is_build_s, pos, -1))
     last_build_key = jax.lax.cummax(jnp.where(is_build_s, keys_s, kmin))
-    hit_s = (
-        (~is_build_s)
-        & (last_build_pos >= 0)
-        & (last_build_key == keys_s)
+    any_build = jax.lax.cummax(is_build_s.astype(jnp.int32)) > 0
+    hit_s = (~is_build_s) & any_build & (last_build_key == keys_s)
+
+    def _ffill(vals):
+        # propagate the last build row's value forward: O(n) work, no
+        # relation-sized gather (c.f. row_s[cummax(pos)] at ~17 ns/el)
+        return jax.lax.associative_scan(
+            lambda a, b: (
+                jnp.where(b[1], b[0], a[0]),
+                jnp.logical_or(a[1], b[1]),
+            ),
+            (vals, is_build_s),
+        )[0]
+
+    build_row_s = _ffill(row_s)
+    carried = [hit_s, build_row_s]
+    if with_pay:
+        carried.append(_ffill(pay_s))
+    # back to probe-row order: one value-carrying sort on the original row
+    # (builds keyed past every probe row), sliced to the probe prefix
+    placement_key = jnp.where(~is_build_s, row_s, jnp.int32(n_b))
+    placed = jax.lax.sort(
+        (placement_key, hit_s.astype(jnp.int32)) + tuple(carried[1:]),
+        num_keys=1,
+        is_stable=False,
     )
-    build_row_s = row_s[jnp.maximum(last_build_pos, 0)]
-    # back to probe-row order
-    probe_row_s = jnp.where(~is_build_s, row_s, n_b)
-    hit = (
-        jnp.zeros((n_b,), jnp.bool_).at[probe_row_s].set(hit_s, mode="drop")
-    )
-    build_row = (
-        jnp.zeros((n_b,), jnp.int32)
-        .at[probe_row_s]
-        .set(build_row_s, mode="drop")
-    )
+    hit = placed[1][:n_b] > 0
+    build_row = placed[2][:n_b]
+    if with_pay:
+        pay_a = jnp.where(hit, placed[3][:n_b], 0)
+        return hit, build_row, pay_a
     return hit, build_row
 
 
@@ -274,9 +317,8 @@ def _materialize_typed(
     if join_type not in ("inner", "semi", "anti", "left"):
         raise ValueError(f"unknown join_type {join_type!r}")
     n_b = probe_keys.shape[0]
-    hit, build_row = _match_probe_rows(build_keys, probe_keys)
-    pay_matched = jnp.where(
-        hit, build_payloads[build_row], jnp.zeros((), build_payloads.dtype)
+    hit, _, pay_matched = _match_probe_rows(
+        build_keys, probe_keys, jnp.asarray(build_payloads)
     )
     if join_type == "left":
         return (
@@ -287,17 +329,26 @@ def _materialize_typed(
             jnp.asarray(n_b, jnp.int32),
         )
     keep = ~hit if join_type == "anti" else hit
-    # stable zero-padded compaction, shared with the filter operator
-    from partitionedhashjoin_tpu.ops.filter import compact
+    # stable compaction via one 2-key value-carrying sort (~8 ns/el for 4
+    # columns vs 8.6 ns/el PER scatter-set column with ``compact``), then
+    # an explicit zero tail to keep the padded contract
+    from partitionedhashjoin_tpu.ops.filter import compact_sort
 
-    count, keys_out, pay_a, pay_b, matched = compact(
+    count, keys_out, pay_a, pay_b, matched = compact_sort(
         keep,
         jnp.asarray(probe_keys),
         pay_matched,
         jnp.asarray(probe_payloads),
-        hit,
+        hit.astype(jnp.int32),
     )
-    return keys_out, pay_a, pay_b, matched, count
+    live = jnp.arange(n_b, dtype=jnp.int32) < count
+    return (
+        jnp.where(live, keys_out, 0),
+        jnp.where(live, pay_a, 0),
+        jnp.where(live, pay_b, 0),
+        jnp.where(live, matched > 0, False),
+        count,
+    )
 
 
 def sort_merge_materialize_typed(
@@ -378,23 +429,55 @@ class SortMergeJoiner:
         table_b: Table,
         timer: Optional[IHashJoinTimer] = None,
         join_type: str = "inner",
+        order: str = "probe",
     ):
         """Engine extension: materialized join output.
 
         ``join_type`` selects the probe-side variant ("inner", "semi",
         "anti", "left" — see ``sort_merge_materialize_typed``); the
         reference materializes nothing, so all variants are extensions.
+
+        ``order`` selects the output row order:
+        - "probe" (default): probe-row order, latest-build-row match — the
+          XLA scan path (works on every backend/dtype).
+        - "key": sorted-key order, lowest-sorted-position match — the
+          kernel fast path (merge_join.two_run_materialize; int32 + Mosaic
+          backends, "inner" only), which skips the placement sort AND the
+          compaction dispatch when every probe row matches.  At relation
+          scale this is the path to use; see docs/PERFORMANCE.md.
         """
         from partitionedhashjoin_tpu.data.table import JoinedTable
+        from partitionedhashjoin_tpu.ops import merge_join
 
+        if order not in ("probe", "key"):
+            raise ValueError(f"unknown order {order!r}")
         timer = timer or NoOpHashJoinTimer()
         timer.set_build_phase_begin()
         timer.set_build_phase_end()
         timer.set_probe_phase_begin()
-        keys, pay_a, pay_b, matched, count = _materialize_typed(
-            table_a.keys, table_a.payloads, table_b.keys, table_b.payloads,
-            join_type,
-        )
+        if order == "key":
+            if join_type != "inner":
+                raise ValueError(
+                    "order='key' (the kernel path) supports inner joins; "
+                    "use order='probe' for semi/anti/left"
+                )
+            if not (
+                merge_join.supported()
+                and _key_dtype(table_a.keys, table_b.keys) == jnp.int32
+            ):
+                raise ValueError(
+                    "order='key' needs a Mosaic backend and int32 keys"
+                )
+            keys, pay_a, pay_b, count = merge_join.two_run_materialize(
+                table_a.keys, table_a.payloads,
+                table_b.keys, table_b.payloads,
+            )
+            matched = None
+        else:
+            keys, pay_a, pay_b, matched, count = _materialize_typed(
+                table_a.keys, table_a.payloads,
+                table_b.keys, table_b.payloads, join_type,
+            )
         count_host = int(jax.device_get(count))
         timer.set_probe_phase_end()
         self._logger.info("Number of joined tuples: %d", count_host)

@@ -398,7 +398,6 @@ def _pipelined_probe(
     times (~5% extra sort work per chunk at the reference's 1:20 ratio).
     """
     from partitionedhashjoin_tpu.ops import merge_join
-    from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
     eff_valid = _effective_hot_valid(
         use_hot, hot_plan_keys, hot_plan_valid, hot_repl_keys, hot_repl_valid
@@ -439,9 +438,12 @@ def _pipelined_probe(
                 return cnt + jnp.where(max_in_a, n_max, 0)
 
         else:
-
-            def chunk_count(rk, rv):
-                return sort_merge_count(rka, rk, rva, rv)
+            # pre-sorted fallback (CPU mesh tests): sort the received build
+            # side ONCE, then count each chunk by one vectorized
+            # searchsorted — the round-2 fallback re-sorted A inside every
+            # chunk (K x the build sort; at 1:4 ratios that tripled the
+            # pipelined path's work and buried any overlap signal)
+            chunk_count = _searchsorted_counter(rka, rva)
 
         first = (a2a(bkb3[:, 0, :]), a2a(bvb3[:, 0, :]))
 
@@ -486,6 +488,32 @@ def _pipelined_probe(
     return out[0]
 
 
+def _searchsorted_counter(rka, rva):
+    """Pre-sorted membership counter for non-Mosaic backends: sort the
+    received build side ONCE (INT32_MAX mask protocol), count any probe
+    batch by one vectorized searchsorted.  Shared by the one-shot and
+    pipelined local joins so their comparison isolates exchange structure,
+    not local-join algorithm."""
+    i32_max = jnp.iinfo(jnp.int32).max
+    a_eff = jnp.where(rva, rka, i32_max)
+    a_sorted = jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0]
+    max_in_a = jnp.any(rva & (rka == i32_max))
+    limit = jnp.searchsorted(
+        a_sorted, jnp.asarray(i32_max, jnp.int32), side="left"
+    )
+
+    def count(rk, rv):
+        b_eff = jnp.where(rv, rk, i32_max)
+        idx = jnp.searchsorted(a_sorted, b_eff, side="left")
+        idxc = jnp.minimum(idx, a_sorted.shape[0] - 1)
+        hit = (a_sorted[idxc] == b_eff) & (idx < limit)
+        cnt = jnp.sum(hit.astype(jnp.int32))
+        n_max = jnp.sum((rv & (rk == i32_max)).astype(jnp.int32))
+        return cnt + jnp.where(max_in_a, n_max, 0)
+
+    return count
+
+
 @functools.partial(jax.jit, static_argnames=("mesh", "use_hot"))
 def _sort_merge_local_count(
     mesh: Mesh,
@@ -509,7 +537,6 @@ def _sort_merge_local_count(
     rows, mirroring the single-chip flagship (the two-run kernel join on
     TPU, the concatenated sort-merge elsewhere)."""
     from partitionedhashjoin_tpu.ops import merge_join
-    from partitionedhashjoin_tpu.ops.sort_merge import sort_merge_count
 
     eff_valid = _effective_hot_valid(
         use_hot, hot_plan_keys, hot_plan_valid, hot_repl_keys, hot_repl_valid
@@ -520,7 +547,7 @@ def _sort_merge_local_count(
         if use_kernel:
             count = merge_join.two_run_count(rka, rkb, rva, rvb)
         else:
-            count = sort_merge_count(rka, rkb, rva, rvb)
+            count = _searchsorted_counter(rka, rva)(rkb, rvb)
         if use_hot:
             found_hot = ihb & _member_of_small(kb, hpk, hpv)
             count = count + jnp.sum(found_hot.astype(jnp.int32))
