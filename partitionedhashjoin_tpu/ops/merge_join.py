@@ -334,30 +334,19 @@ def two_run_materialize(
     return keys, pa, pb, count
 
 
-@jax.jit
-def _sort_i64(build_keys: jax.Array, probe_keys: jax.Array):
-    a = jax.lax.sort((jnp.asarray(build_keys, jnp.int64),), num_keys=1,
-                     is_stable=False)[0]
-    b = jax.lax.sort((jnp.asarray(probe_keys, jnp.int64),), num_keys=1,
-                     is_stable=False)[0]
-    return a, b
-
-
 def two_run_count_i64(
     build_keys: jax.Array,
     probe_keys: jax.Array,
     interpret: bool = False,
 ) -> jax.Array:
-    """int64-key two-run count join (requires x64 mode): one unstable sort
-    per relation + the hi/lo-plane kernel (merge_probe.ranged_merge_count_i64).
+    """int64-key two-run count join (requires x64 mode): plane-pair path.
     The reference's Tuple::id is int64 (src/Common/Table.hpp:20-25).
 
-    NOT one fused jit: the kernel must lower in an x64-off jit (see
-    merge_probe._prep_i64), so this composes three program dispatches —
-    the x64 sorts, the x64 prep, and the int32 kernel."""
-    if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
-        return jnp.asarray(0, jnp.int32)
-    a_sorted, b_sorted = _sort_i64(build_keys, probe_keys)
-    return merge_probe.ranged_merge_count_i64(
-        a_sorted, b_sorted, interpret=interpret
+    Keys split once into (hi, lo_cmp) int32 planes (a trivial x64
+    dispatch); ONE x64-off program then runs the unstable 2-KEY plane
+    sorts (3.1 ns/el — cheaper than the two x64 int64 sorts of the
+    round-2 path), the lexicographic prep, and the hi/lo kernel.  See
+    merge_probe._count_i64_planes_full."""
+    return merge_probe.two_run_count_i64_planes(
+        build_keys, probe_keys, interpret=interpret
     )
