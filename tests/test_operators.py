@@ -263,6 +263,48 @@ class TestSortAggregate:
             np.asarray(gs.sum)[:ns], np.asarray(gh.sum)[:nh][order]
         )
 
+    def test_kernel_compaction_agrees_with_sort_path(self):
+        # the Mosaic pass-2 compaction (interpret mode here) must produce
+        # identical GroupByResults to the 2-key/4-value sort it replaces,
+        # across densities incl. nearly-all-distinct and heavy-duplicate
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate,
+            sort_aggregate,
+        )
+
+        rng = np.random.default_rng(15)
+        for n, hi in ((5000, 37), (9000, 8000), (8192, 3)):
+            keys = rng.integers(0, hi, n).astype(np.int32)
+            pay = rng.integers(-100, 100, n).astype(np.int32)
+            t = make_table(keys, pay)
+            gs = sort_aggregate(t, compaction="sort")
+            gk = sort_aggregate(t, compaction="kernel", interpret=True)
+            num = int(gs.num_groups)
+            assert num == int(gk.num_groups)
+            for field in ("keys", "count", "sum", "min", "max"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(gs, field))[:num],
+                    np.asarray(getattr(gk, field))[:num],
+                    err_msg=f"{field} n={n} hi={hi}",
+                )
+            # filtered variant with a capacity bound
+            fs, cs = filter_sort_aggregate(
+                t, lambda k, p: p > 0, group_capacity=hi + 10,
+                compaction="sort",
+            )
+            fk, ck = filter_sort_aggregate(
+                t, lambda k, p: p > 0, group_capacity=hi + 10,
+                compaction="kernel", interpret=True,
+            )
+            assert int(cs) == int(ck)
+            num = int(fs.num_groups)
+            assert num == int(fk.num_groups)
+            for field in ("keys", "count", "sum", "min", "max"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(fs, field))[:num],
+                    np.asarray(getattr(fk, field))[:num],
+                )
+
     def test_group_capacity_truncates_but_num_groups_exact(self):
         from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
 
