@@ -325,6 +325,13 @@ def run_distributed(config: Configuration, args, log):
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     config, args = parse_arguments(argv)
+    if args.platform and args.coordinator is None:
+        # single-process --platform: pin before the first backend touch
+        # (the distributed path applies it inside distributed.initialize;
+        # the env var alone is ignored under the axon sitecustomize)
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     logging_utils.initialize_logger(config.logger_config.log_level)
     log = logging_utils.get_new_logger("Main")
 

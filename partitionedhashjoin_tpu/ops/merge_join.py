@@ -35,6 +35,29 @@ from partitionedhashjoin_tpu.ops.pallas import merge_probe
 
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
+# Which unstable 1-key int32 sort the two-run join's partition step uses:
+#   "xla"    jax.lax.sort (2.1 ns/el measured on chip)
+#   "pallas" ops/pallas/bitonic_sort.sort_i32 (in-register block sort +
+#            merge-path passes; see docs/PERFORMANCE.md for measured cost)
+# Module-level because it is a backend-tuning fact, not a per-call choice.
+_SORT_IMPL = "xla"
+
+
+def set_sort_impl(impl: str) -> None:
+    global _SORT_IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown sort impl {impl!r}")
+    _SORT_IMPL = impl
+
+
+def _key_sort(keys: jax.Array, impl: str, interpret: bool = False) -> jax.Array:
+    """Unstable ascending 1-key int32 sort via the selected implementation."""
+    if impl == "pallas":
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
+
+        return bitonic_sort.sort_i32(keys, interpret=interpret)
+    return jax.lax.sort((keys,), num_keys=1, is_stable=False)[0]
+
 
 def supported() -> bool:
     """True when the Mosaic kernel path runs on the current backend."""
@@ -101,7 +124,8 @@ def _two_run_count(
     if build_keys.shape[0] == 0 or probe_keys.shape[0] == 0:
         return jnp.asarray(0, jnp.int32)
     a_sorted, max_in_a = _prepare_build_i32(
-        build_keys, build_valid, has_valid=build_valid is not None
+        build_keys, build_valid, has_valid=build_valid is not None,
+        sort_impl=_SORT_IMPL, interpret=interpret,
     )
     return _probe_prepared_i32(
         a_sorted,
@@ -110,6 +134,7 @@ def _two_run_count(
         probe_valid,
         has_valid=probe_valid is not None,
         interpret=interpret,
+        sort_impl=_SORT_IMPL,
     )
 
 
@@ -124,8 +149,13 @@ def sorted_runs_count(
     return merge_probe.ranged_merge_count(a_sorted, b_sorted, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("has_valid",))
-def _prepare_build_i32(build_keys, build_valid=None, has_valid=False):
+@functools.partial(
+    jax.jit, static_argnames=("has_valid", "sort_impl", "interpret")
+)
+def _prepare_build_i32(
+    build_keys, build_valid=None, has_valid=False, sort_impl="xla",
+    interpret=False,
+):
     build_keys = jnp.asarray(build_keys, jnp.int32)
     if has_valid:
         build_valid = jnp.asarray(build_valid, jnp.bool_)
@@ -135,15 +165,17 @@ def _prepare_build_i32(build_keys, build_valid=None, has_valid=False):
         a_eff = build_keys
         max_in_a = jnp.any(build_keys == _I32_MAX)
     return (
-        jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0],
+        _key_sort(a_eff, sort_impl, interpret),
         max_in_a,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("has_valid", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("has_valid", "interpret", "sort_impl")
+)
 def _probe_prepared_i32(
     a_sorted, max_in_a, probe_keys, probe_valid=None,
-    has_valid=False, interpret=False,
+    has_valid=False, interpret=False, sort_impl="xla",
 ):
     probe_keys = jnp.asarray(probe_keys, jnp.int32)
     if has_valid:
@@ -155,7 +187,7 @@ def _probe_prepared_i32(
     else:
         b_eff = probe_keys
         n_max = jnp.sum((probe_keys == _I32_MAX).astype(jnp.int32))
-    b_sorted = jax.lax.sort((b_eff,), num_keys=1, is_stable=False)[0]
+    b_sorted = _key_sort(b_eff, sort_impl, interpret)
     count = merge_probe.ranged_merge_count_prepared(
         a_sorted, b_sorted, exclude_int32_max=True, interpret=interpret
     )
@@ -200,10 +232,12 @@ class PreparedBuild:
                     self.a_sorted, self.max_in_a = _prepare_build_i32(
                         jnp.asarray(keys, jnp.int32), build_valid,
                         has_valid=build_valid is not None,
+                        sort_impl=_SORT_IMPL, interpret=interpret,
                     )
             else:
                 self.a_sorted, self.max_in_a = _prepare_build_i32(
-                    keys, build_valid, has_valid=build_valid is not None
+                    keys, build_valid, has_valid=build_valid is not None,
+                    sort_impl=_SORT_IMPL, interpret=interpret,
                 )
 
     def count(self, probe_keys, probe_valid=None) -> jax.Array:
@@ -225,7 +259,8 @@ class PreparedBuild:
             self.a_sorted, self.max_in_a, probe_keys, probe_valid,
         )
         kw = dict(
-            has_valid=probe_valid is not None, interpret=self._interpret
+            has_valid=probe_valid is not None, interpret=self._interpret,
+            sort_impl=_SORT_IMPL,
         )
         if jax.config.jax_enable_x64:
             from jax._src.config import enable_x64 as _enable_x64

@@ -135,7 +135,7 @@ def sort_blocks_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _diag_search(x, boundaries, base_a, base_b, run_len, rounds: int):
+def _diag_search(x_rows, n, boundaries, base_a, base_b, run_len, rounds: int):
     """Merge-path split: elements of A consumed before each boundary.
 
     For each output boundary ``g`` (offset within its pair; ``base_a``/
@@ -146,15 +146,18 @@ def _diag_search(x, boundaries, base_a, base_b, run_len, rounds: int):
 
     under "A wins ties" merge semantics (predicate monotone decreasing in
     i; true at the lower bound).  Out-of-range reads are +/-inf: A[-1] is
-    -inf; any index past the array end is +inf (padding).
+    -inf; any index past the logical end ``n`` is +inf — masked HERE, so
+    the rows past ``n`` in ``x_rows`` may hold garbage (they are never
+    *selected* by the kernel either: only merge-path-consumed elements
+    reach the output block; see _merge_kernel's overlay).
     """
-    n = x.shape[0]
     g = boundaries
     lo = jnp.maximum(jnp.int32(0), g - run_len)
     hi = jnp.minimum(g, run_len)
 
     def read(idx, oob_hi_mask):
-        v = x[jnp.clip(idx, 0, n - 1)]
+        idxc = jnp.clip(idx, 0, n - 1)
+        v = x_rows[idxc // LANES, idxc % LANES]
         return jnp.where(oob_hi_mask | (idx >= n), _I32_MAX, v)
 
     def body(_, lohi):
@@ -252,11 +255,28 @@ def _rotate_left(win, r):
     return jnp.where(wrap[:ROWS], nxt[:ROWS], rotated[:ROWS])
 
 
-def _merge_pass(x, run_len, interpret: bool, rounds: int = 31):
-    """One pairwise merge pass: sorted runs of ``run_len`` (traced int32
-    scalar, power-of-two multiple of BLK) -> sorted runs of 2*run_len.
-    ``x`` length must be a BLK multiple."""
-    n = x.shape[0]
+PAD_ROWS = ROWS + 2  # fixed-size (ROWS+1)-row windows may reach past the data
+
+
+def _to_padded_rows(x):
+    """Flat BLK-multiple array -> (n_rows + PAD_ROWS, LANES) rows form.
+    The pad rows are +INT32_MAX here for hygiene, but their content is
+    irrelevant after the first merge pass (see _diag_search) — keeping the
+    array in this form across passes avoids a full-array repad copy per
+    pass (round-3 fix: the repad was a 3rd full touch per pass)."""
+    n_rows = x.shape[0] // LANES
+    x_rows = jnp.full((n_rows + PAD_ROWS, LANES), _I32_MAX, jnp.int32)
+    return jax.lax.dynamic_update_slice(
+        x_rows, x.reshape(n_rows, LANES), (0, 0)
+    )
+
+
+def _merge_pass_rows(x_rows, n, run_len, interpret: bool, rounds: int = 31):
+    """One pairwise merge pass over the padded rows form: sorted runs of
+    ``run_len`` (traced int32 scalar, power-of-two multiple of BLK) ->
+    sorted runs of 2*run_len.  ``n`` (static) is the logical element count,
+    a BLK multiple; rows past n//LANES in both input and output hold
+    garbage."""
     num_blocks = n // BLK
 
     blk_idx = jnp.arange(num_blocks, dtype=jnp.int32)
@@ -266,7 +286,7 @@ def _merge_pass(x, run_len, interpret: bool, rounds: int = 31):
     base_b = base_a + run_len
     g = g_global - base_a  # boundary offset within the pair
 
-    a_excl = _diag_search(x, g, base_a, base_b, run_len, rounds)
+    a_excl = _diag_search(x_rows, n, g, base_a, base_b, run_len, rounds)
     # A consumed by block END: the next block's a_excl while inside the
     # pair; at the pair's last EMITTED block the merge path has consumed
     # min(run_len, n - base_a) A elements (all of A, or everything when B
@@ -286,19 +306,12 @@ def _merge_pass(x, run_len, interpret: bool, rounds: int = 31):
     bstart = b_pos // LANES
     brot = b_pos % LANES
 
-    # fixed-size (ROWS+1)-row windows may reach past the data: pad with
-    # +inf rows (never selected into the merge output's real ranks)
     n_rows = n // LANES
-    pad_rows = ROWS + 2
-    x_rows = jnp.full((n_rows + pad_rows, LANES), _I32_MAX, jnp.int32)
-    x_rows = jax.lax.dynamic_update_slice(
-        x_rows, x.reshape(n_rows, LANES), (0, 0)
-    )
-    hi_row = n_rows + pad_rows - (ROWS + 1)
+    hi_row = n_rows + PAD_ROWS - (ROWS + 1)
     astart = jnp.clip(astart, 0, hi_row)
     bstart = jnp.clip(bstart, 0, hi_row)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _merge_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
@@ -313,10 +326,9 @@ def _merge_pass(x, run_len, interpret: bool, rounds: int = 31):
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_blocks * ROWS, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((n_rows + PAD_ROWS, LANES), jnp.int32),
         interpret=interpret,
     )(astart, arot, a_take, bstart, brot, x_rows)
-    return out.reshape(n)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -325,23 +337,30 @@ def merge_pass_i32(
 ) -> jax.Array:
     """Jitted single merge pass (tests / incremental use).  ``run_len`` is
     traced, so every pass of a sort shares one compiled program."""
-    return _merge_pass(x, jnp.asarray(run_len, jnp.int32), interpret)
+    n = x.shape[0]
+    out = _merge_pass_rows(
+        _to_padded_rows(x), n, jnp.asarray(run_len, jnp.int32), interpret
+    )
+    return out.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sort_padded(xp: jax.Array, interpret: bool = False) -> jax.Array:
     """Block sort + all merge passes in ONE program (a dispatch through the
-    relay costs ~25 ms; 15 passes must not pay it 15 times)."""
+    relay costs ~25 ms; 15 passes must not pay it 15 times).  The array
+    stays in padded rows form across passes — each pass touches HBM exactly
+    once for read and once for write."""
     n = xp.shape[0]
     num_blocks = n // BLK
     xp = _sort_blocks(xp, interpret)
     passes = max(num_blocks - 1, 0).bit_length()  # ceil(log2(num_blocks))
 
-    def body(p, x):
+    def body(p, x_rows):
         run_len = jax.lax.shift_left(jnp.int32(BLK), p)
-        return _merge_pass(x, run_len, interpret)
+        return _merge_pass_rows(x_rows, n, run_len, interpret)
 
-    return jax.lax.fori_loop(0, passes, body, xp)
+    out = jax.lax.fori_loop(0, passes, body, _to_padded_rows(xp))
+    return out.reshape(-1)[:n]
 
 
 def sort_i32(x: jax.Array, interpret: bool = False) -> jax.Array:

@@ -195,3 +195,38 @@ def test_single_giant_run():
     a = np.full(10 * CAP + 7, 42, np.int32)
     b = np.asarray([41, 42, 43] * 1000, np.int32)
     assert _count(a, b) == 1000
+
+
+def test_two_run_count_pallas_sorter_agrees():
+    """The partition step's sort implementation (xla vs the Pallas
+    bitonic/merge sorter) must be invisible in the count — including with
+    validity masks, whose INT32_MAX sentinel rewriting happens BEFORE the
+    selected sort."""
+    from partitionedhashjoin_tpu.ops import merge_join
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(-50, 50, 9000, dtype=np.int64).astype(np.int32)
+    b = rng.integers(-80, 80, 40000, dtype=np.int64).astype(np.int32)
+    av = rng.random(9000) < 0.9
+    bv = rng.random(40000) < 0.8
+    a[::701] = I32_MAX  # genuine INT32_MAX keys vs the sorter's padding
+    want = int(
+        two_run_count(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(av), jnp.asarray(bv),
+            interpret=True,
+        )
+    )
+    merge_join.set_sort_impl("pallas")
+    try:
+        got = int(
+            two_run_count(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(av),
+                jnp.asarray(bv), interpret=True,
+            )
+        )
+    finally:
+        merge_join.set_sort_impl("xla")
+    valid_build = set(a[av].tolist())
+    oracle = int(sum(1 for k, v in zip(b.tolist(), bv.tolist())
+                     if v and k in valid_build))
+    assert got == want == oracle
