@@ -27,12 +27,23 @@ moves only, all Mosaic-legal.  The full sorter:
            = bitonic for ANY split point), and runs the 13-stage bitonic
            merge before one sequential aligned write.
 
+Everything is written over TUPLES of int32 operands compared in full
+lexicographic order (``sort_i32_tuple``); the 1-operand case is the plain
+key sort.  Full-tuple comparison makes the all-INT32_MAX padding row the
+MAXIMAL tuple, so padding is either strictly last or bit-identical to a
+genuine all-MAX row — value association survives padding with no pad-flag
+operand.  Ties between identical tuples are interchangeable, so the network
+(which is unstable) is still a correct deterministic sort of row tuples:
+"sort by operand 0, ties by operand 1, ..." — exactly the contract the
+engine's 2-key plane sorts (int64 keys) and value-carrying sorts
+(materialize / GROUP BY) need.
+
 Unstable pure-key sort semantics (like the flagship's partition step); the
 merge rule "A wins ties" makes the diagonal search's predicate monotone.
-Out-of-range reads behave as +INT32_MAX, which makes truncated tail pairs
-(array length not a multiple of the pair span) and lone tail runs (odd run
-count) correct with no special cases: a lone run merges against an empty B
-and copies through.
+Out-of-range reads behave as +INT32_MAX tuples, which makes truncated tail
+pairs (array length not a multiple of the pair span) and lone tail runs
+(odd run count) correct with no special cases: a lone run merges against an
+empty B and copies through.
 
 Reference context: the radix fan-out exists to make data movement cheap
 (src/RadixCluster/HashJoin.hpp:333-440); this sorter is the TPU engine's
@@ -72,12 +83,27 @@ def _partner(x, d: int):
     return jnp.flip(x.reshape(g, 2, dr, LANES), axis=1).reshape(x.shape)
 
 
-def _compare_exchange(x, take_min, d: int):
-    p = _partner(x, d)
-    return jnp.where(take_min, jnp.minimum(x, p), jnp.maximum(x, p))
+def _lt_tuple(ps, xs):
+    """Strict lexicographic ``p < x`` over operand lists (signed int32)."""
+    lt = ps[-1] < xs[-1]
+    for p, x in zip(reversed(ps[:-1]), reversed(xs[:-1])):
+        lt = (p < x) | ((p == x) & lt)
+    return lt
 
 
-def _bitonic_sort_block(x):
+def _compare_exchange(xs, take_min, d: int):
+    """One compare-exchange stage over operand tuples.
+
+    Position i keeps its own tuple on ties; pairs (i, i^d) have
+    complementary take_min, so swap decisions complement: both positions
+    swap iff the partner's tuple is strictly on the wrong side."""
+    ps = [_partner(x, d) for x in xs]
+    p_lt_x = _lt_tuple(ps, xs)
+    swap = jnp.where(take_min, p_lt_x, _lt_tuple(xs, ps))
+    return [jnp.where(swap, p, x) for p, x in zip(ps, xs)]
+
+
+def _bitonic_sort_block(xs):
     """91-stage bitonic sort of one (ROWS, LANES) block, flat row-major."""
     i = _flat_iota()
     for k in range(1, LOG_BLK + 1):
@@ -85,41 +111,44 @@ def _bitonic_sort_block(x):
         for j in range(k - 1, -1, -1):
             d = 1 << j
             take_min = up == ((i & d) == 0)
-            x = _compare_exchange(x, take_min, d)
-    return x
+            xs = _compare_exchange(xs, take_min, d)
+    return xs
 
 
-def _bitonic_merge_block(x):
+def _bitonic_merge_block(xs):
     """13-stage ascending bitonic merge of one (ROWS, LANES) block whose
     flat content is bitonic (ascending prefix + descending suffix)."""
     i = _flat_iota()
     for j in range(LOG_BLK - 1, -1, -1):
         d = 1 << j
         take_min = (i & d) == 0
-        x = _compare_exchange(x, take_min, d)
-    return x
+        xs = _compare_exchange(xs, take_min, d)
+    return xs
 
 
-def _sort_blocks_kernel(x_ref, o_ref):
-    o_ref[...] = _bitonic_sort_block(x_ref[...])
+def _sort_blocks_kernel(*refs):
+    k = len(refs) // 2
+    out = _bitonic_sort_block([r[...] for r in refs[:k]])
+    for o_ref, o in zip(refs[k:], out):
+        o_ref[...] = o
 
 
-def _sort_blocks(x, interpret: bool):
-    n = x.shape[0]
+def _sort_blocks(xs, interpret: bool):
+    n = xs[0].shape[0]
     num_blocks = n // BLK
+    k = len(xs)
+    spec = pl.BlockSpec((ROWS, LANES), lambda w: (w, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((num_blocks * ROWS, LANES), jnp.int32)
     out = pl.pallas_call(
         _sort_blocks_kernel,
         grid=(num_blocks,),
-        in_specs=[
-            pl.BlockSpec((ROWS, LANES), lambda w: (w, 0),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((ROWS, LANES), lambda w: (w, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_blocks * ROWS, LANES), jnp.int32),
+        in_specs=[spec] * k,
+        out_specs=[spec] * k,
+        out_shape=[shape] * k,
         interpret=interpret,
-    )(x.reshape(num_blocks * ROWS, LANES))
-    return out.reshape(n)
+    )(*[x.reshape(num_blocks * ROWS, LANES) for x in xs])
+    return [o.reshape(n) for o in out]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -127,7 +156,7 @@ def sort_blocks_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
     """Sort each consecutive 8192-element block of ``x`` ascending (int32,
     length a BLK multiple — pad with INT32_MAX upstream).  Phase A."""
     assert x.shape[0] % BLK == 0, "pad to a BLK multiple first"
-    return _sort_blocks(x, interpret)
+    return _sort_blocks([x], interpret)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +164,8 @@ def sort_blocks_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _diag_search(x_rows, n, boundaries, base_a, base_b, run_len, rounds: int):
+def _diag_search(xs_rows, n, boundaries, base_a, base_b, run_len,
+                 rounds: int):
     """Merge-path split: elements of A consumed before each boundary.
 
     For each output boundary ``g`` (offset within its pair; ``base_a``/
@@ -145,11 +175,12 @@ def _diag_search(x_rows, n, boundaries, base_a, base_b, run_len, rounds: int):
                   A[i-1] <= B[g-i] }
 
     under "A wins ties" merge semantics (predicate monotone decreasing in
-    i; true at the lower bound).  Out-of-range reads are +/-inf: A[-1] is
-    -inf; any index past the logical end ``n`` is +inf — masked HERE, so
-    the rows past ``n`` in ``x_rows`` may hold garbage (they are never
-    *selected* by the kernel either: only merge-path-consumed elements
-    reach the output block; see _merge_kernel's overlay).
+    i; true at the lower bound), tuples compared lexicographically.
+    Out-of-range reads are +/-inf: A[-1] is -inf; any index past the
+    logical end ``n`` is the +inf tuple — masked HERE, so the rows past
+    ``n`` in ``xs_rows`` may hold garbage (they are never *selected* by the
+    kernel either: only merge-path-consumed elements reach the output
+    block; see _merge_kernel's overlay).
     """
     g = boundaries
     lo = jnp.maximum(jnp.int32(0), g - run_len)
@@ -157,8 +188,11 @@ def _diag_search(x_rows, n, boundaries, base_a, base_b, run_len, rounds: int):
 
     def read(idx, oob_hi_mask):
         idxc = jnp.clip(idx, 0, n - 1)
-        v = x_rows[idxc // LANES, idxc % LANES]
-        return jnp.where(oob_hi_mask | (idx >= n), _I32_MAX, v)
+        mask = oob_hi_mask | (idx >= n)
+        return [
+            jnp.where(mask, _I32_MAX, x[idxc // LANES, idxc % LANES])
+            for x in xs_rows
+        ]
 
     def body(_, lohi):
         lo, hi = lohi
@@ -169,7 +203,7 @@ def _diag_search(x_rows, n, boundaries, base_a, base_b, run_len, rounds: int):
         j = g - mid  # in [0, run_len) when active
         b_idx = base_b + j
         b_val = read(b_idx, j >= run_len)
-        ok = a_val <= b_val
+        ok = ~_lt_tuple(b_val, a_val)  # A[mid-1] <= B[g-mid] lexicographic
         lo = jnp.where(active & ok, mid, lo)
         hi = jnp.where(active & ~ok, mid - 1, hi)
         return lo, hi
@@ -178,64 +212,72 @@ def _diag_search(x_rows, n, boundaries, base_a, base_b, run_len, rounds: int):
     return lo
 
 
-def _merge_kernel(
-    astart_ref,  # scalar prefetch: int32[W] aligned A window start row
-    arot_ref,  # scalar prefetch: int32[W] rotation in [0, 128)
-    atake_ref,  # scalar prefetch: int32[W] A elements in this block
-    bstart_ref,  # scalar prefetch: int32[W] aligned B window start row
-    brot_ref,  # scalar prefetch: int32[W]
-    x_hbm,  # int32[n_rows + pad, 128] padded input (stays in HBM)
-    o_ref,  # int32[ROWS, 128] output block
-    awin,  # VMEM scratch (2, ROWS + 1, LANES): double-buffered A windows
-    bwin,  # VMEM scratch (2, ROWS + 1, LANES)
-    sems,  # DMA semaphores (2, 2)
-):
-    w = pl.program_id(0)
-    num_steps = pl.num_programs(0)
-    slot = jax.lax.rem(w, 2)
-    nxt = jax.lax.rem(w + 1, 2)
+def _make_merge_kernel(k: int):
+    """Merge kernel over ``k`` operand arrays.  Argument layout:
+    5 scalar-prefetch refs, k HBM inputs, k output blocks, then scratch:
+    k double-buffered A windows, k B windows, one (2, 2k) DMA sem array."""
 
-    @pl.when(w == 0)
-    def _():
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(astart_ref[0], ROWS + 1)], awin.at[0],
-            sems.at[0, 0],
-        ).start()
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(bstart_ref[0], ROWS + 1)], bwin.at[0],
-            sems.at[0, 1],
-        ).start()
+    def kernel(astart_ref, arot_ref, atake_ref, bstart_ref, brot_ref, *rest):
+        x_hbms = rest[:k]
+        o_refs = rest[k:2 * k]
+        awins = rest[2 * k:3 * k]
+        bwins = rest[3 * k:4 * k]
+        sems = rest[4 * k]
 
-    @pl.when(w + 1 < num_steps)
-    def _():
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(astart_ref[w + 1], ROWS + 1)], awin.at[nxt],
-            sems.at[nxt, 0],
-        ).start()
-        pltpu.make_async_copy(
-            x_hbm.at[pl.ds(bstart_ref[w + 1], ROWS + 1)], bwin.at[nxt],
-            sems.at[nxt, 1],
-        ).start()
+        w = pl.program_id(0)
+        num_steps = pl.num_programs(0)
+        slot = jax.lax.rem(w, 2)
+        nxt = jax.lax.rem(w + 1, 2)
 
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(astart_ref[w], ROWS + 1)], awin.at[slot],
-        sems.at[slot, 0],
-    ).wait()
-    pltpu.make_async_copy(
-        x_hbm.at[pl.ds(bstart_ref[w], ROWS + 1)], bwin.at[slot],
-        sems.at[slot, 1],
-    ).wait()
+        def start_all(step, buf_slot):
+            for c, (x_hbm, awin, bwin) in enumerate(
+                zip(x_hbms, awins, bwins)
+            ):
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(astart_ref[step], ROWS + 1)],
+                    awin.at[buf_slot],
+                    sems.at[buf_slot, 2 * c],
+                ).start()
+                pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(bstart_ref[step], ROWS + 1)],
+                    bwin.at[buf_slot],
+                    sems.at[buf_slot, 2 * c + 1],
+                ).start()
 
-    a = _rotate_left(awin[slot], arot_ref[w])
-    b = _rotate_left(bwin[slot], brot_ref[w])
-    # Overlay: flat m < a_take -> A[a_pos + m] (ascending);
-    # m >= a_take -> rev(B)[m] = B[b_pos + BLK-1-m] (descending), whose
-    # LAST consumed element (m = a_take) is the block's last B element.
-    # asc-then-desc = bitonic for any split point, padding included.
-    b_rev = jnp.flip(b, axis=(0, 1))
-    i = _flat_iota()
-    merged = jnp.where(i < atake_ref[w], a, b_rev)
-    o_ref[...] = _bitonic_merge_block(merged)
+        @pl.when(w == 0)
+        def _():
+            start_all(0, 0)
+
+        @pl.when(w + 1 < num_steps)
+        def _():
+            start_all(w + 1, nxt)
+
+        for c, (x_hbm, awin, bwin) in enumerate(zip(x_hbms, awins, bwins)):
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(astart_ref[w], ROWS + 1)], awin.at[slot],
+                sems.at[slot, 2 * c],
+            ).wait()
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(bstart_ref[w], ROWS + 1)], bwin.at[slot],
+                sems.at[slot, 2 * c + 1],
+            ).wait()
+
+        # Overlay: flat m < a_take -> A[a_pos + m] (ascending);
+        # m >= a_take -> rev(B)[m] = B[b_pos + BLK-1-m] (descending), whose
+        # LAST consumed element (m = a_take) is the block's last B element.
+        # asc-then-desc = bitonic for any split point, padding included.
+        i = _flat_iota()
+        sel = i < atake_ref[w]
+        merged = []
+        for awin, bwin in zip(awins, bwins):
+            a = _rotate_left(awin[slot], arot_ref[w])
+            b = _rotate_left(bwin[slot], brot_ref[w])
+            merged.append(jnp.where(sel, a, jnp.flip(b, axis=(0, 1))))
+        out = _bitonic_merge_block(merged)
+        for o_ref, o in zip(o_refs, out):
+            o_ref[...] = o
+
+    return kernel
 
 
 def _rotate_left(win, r):
@@ -271,13 +313,14 @@ def _to_padded_rows(x):
     )
 
 
-def _merge_pass_rows(x_rows, n, run_len, interpret: bool, rounds: int = 31):
+def _merge_pass_rows(xs_rows, n, run_len, interpret: bool, rounds: int = 31):
     """One pairwise merge pass over the padded rows form: sorted runs of
     ``run_len`` (traced int32 scalar, power-of-two multiple of BLK) ->
     sorted runs of 2*run_len.  ``n`` (static) is the logical element count,
     a BLK multiple; rows past n//LANES in both input and output hold
     garbage."""
     num_blocks = n // BLK
+    k = len(xs_rows)
 
     blk_idx = jnp.arange(num_blocks, dtype=jnp.int32)
     g_global = blk_idx * BLK
@@ -286,7 +329,7 @@ def _merge_pass_rows(x_rows, n, run_len, interpret: bool, rounds: int = 31):
     base_b = base_a + run_len
     g = g_global - base_a  # boundary offset within the pair
 
-    a_excl = _diag_search(x_rows, n, g, base_a, base_b, run_len, rounds)
+    a_excl = _diag_search(xs_rows, n, g, base_a, base_b, run_len, rounds)
     # A consumed by block END: the next block's a_excl while inside the
     # pair; at the pair's last EMITTED block the merge path has consumed
     # min(run_len, n - base_a) A elements (all of A, or everything when B
@@ -311,24 +354,26 @@ def _merge_pass_rows(x_rows, n, run_len, interpret: bool, rounds: int = 31):
     astart = jnp.clip(astart, 0, hi_row)
     bstart = jnp.clip(bstart, 0, hi_row)
 
-    return pl.pallas_call(
-        _merge_kernel,
+    shape = jax.ShapeDtypeStruct((n_rows + PAD_ROWS, LANES), jnp.int32)
+    out = pl.pallas_call(
+        _make_merge_kernel(k),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(num_blocks,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(
-                (ROWS, LANES), lambda w, *_: (w, 0), memory_space=pltpu.VMEM
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+            out_specs=[
+                pl.BlockSpec((ROWS, LANES), lambda w, *_: (w, 0),
+                             memory_space=pltpu.VMEM)
+            ] * k,
+            scratch_shapes=(
+                [pltpu.VMEM((2, ROWS + 1, LANES), jnp.int32)] * (2 * k)
+                + [pltpu.SemaphoreType.DMA((2, 2 * k))]
             ),
-            scratch_shapes=[
-                pltpu.VMEM((2, ROWS + 1, LANES), jnp.int32),
-                pltpu.VMEM((2, ROWS + 1, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_rows + PAD_ROWS, LANES), jnp.int32),
+        out_shape=[shape] * k,
         interpret=interpret,
-    )(astart, arot, a_take, bstart, brot, x_rows)
+    )(astart, arot, a_take, bstart, brot, *xs_rows)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -339,28 +384,30 @@ def merge_pass_i32(
     traced, so every pass of a sort shares one compiled program."""
     n = x.shape[0]
     out = _merge_pass_rows(
-        _to_padded_rows(x), n, jnp.asarray(run_len, jnp.int32), interpret
+        [_to_padded_rows(x)], n, jnp.asarray(run_len, jnp.int32), interpret
     )
-    return out.reshape(-1)[:n]
+    return out[0].reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _sort_padded(xp: jax.Array, interpret: bool = False) -> jax.Array:
+def _sort_padded(xps, interpret: bool = False):
     """Block sort + all merge passes in ONE program (a dispatch through the
-    relay costs ~25 ms; 15 passes must not pay it 15 times).  The array
-    stays in padded rows form across passes — each pass touches HBM exactly
-    once for read and once for write."""
-    n = xp.shape[0]
+    relay costs ~25 ms; 15 passes must not pay it 15 times).  The arrays
+    stay in padded rows form across passes — each pass touches HBM exactly
+    once for read and once for write per operand."""
+    n = xps[0].shape[0]
     num_blocks = n // BLK
-    xp = _sort_blocks(xp, interpret)
+    xps = _sort_blocks(list(xps), interpret)
     passes = max(num_blocks - 1, 0).bit_length()  # ceil(log2(num_blocks))
 
-    def body(p, x_rows):
+    def body(p, xs_rows):
         run_len = jax.lax.shift_left(jnp.int32(BLK), p)
-        return _merge_pass_rows(x_rows, n, run_len, interpret)
+        return tuple(_merge_pass_rows(list(xs_rows), n, run_len, interpret))
 
-    out = jax.lax.fori_loop(0, passes, body, _to_padded_rows(xp))
-    return out.reshape(-1)[:n]
+    out = jax.lax.fori_loop(
+        0, passes, body, tuple(_to_padded_rows(x) for x in xps)
+    )
+    return [o.reshape(-1)[:n] for o in out]
 
 
 def sort_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
@@ -369,10 +416,34 @@ def sort_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
     INT32_MAX — correct for the full int32 domain: padding only adds extra
     maximal elements whose multiset position is interchangeable with any
     genuine INT32_MAX keys)."""
-    n = x.shape[0]
+    return sort_i32_tuple(x, interpret=interpret)[0]
+
+
+def sort_i32_tuple(*operands: jax.Array, interpret: bool = False):
+    """Unstable ascending sort of int32 row TUPLES in full lexicographic
+    order: sorted by operand 0, ties by operand 1, and so on.  Returns the
+    reordered operands as a list.
+
+    This one primitive covers the engine's sort shapes beyond the plain key
+    sort: 2-key (hi, lo) plane sorts for int64 keys (lexicographic plane
+    order IS int64 order after the lo-plane bias flip — see
+    merge_probe.two_run_count_i64_planes) and value-carrying sorts
+    (key, payload...) where any tie order is acceptable (the tuple order
+    makes it deterministic).  Any length; pads with all-INT32_MAX rows,
+    which are maximal tuples (strictly last or bit-identical to genuine
+    all-MAX rows, so value association is exact over the full domain).
+    """
+    n = operands[0].shape[0]
+    for o in operands[1:]:
+        assert o.shape[0] == n, "operands must share a length"
     if n == 0:
-        return jnp.asarray(x, jnp.int32)
+        return [jnp.asarray(o, jnp.int32) for o in operands]
     padded = (n + BLK - 1) // BLK * BLK
-    xp = jnp.full((padded,), _I32_MAX, jnp.int32)
-    xp = jax.lax.dynamic_update_slice(xp, jnp.asarray(x, jnp.int32), (0,))
-    return _sort_padded(xp, interpret=interpret)[:n]
+    xps = []
+    for o in operands:
+        xp = jnp.full((padded,), _I32_MAX, jnp.int32)
+        xps.append(
+            jax.lax.dynamic_update_slice(xp, jnp.asarray(o, jnp.int32), (0,))
+        )
+    out = _sort_padded(tuple(xps), interpret=interpret)
+    return [o[:n] for o in out]

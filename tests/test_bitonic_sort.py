@@ -139,3 +139,74 @@ class TestFullSort:
         np.testing.assert_array_equal(
             np.asarray(bs.sort_i32(jnp.asarray(x[::-1]), interpret=True)), x
         )
+
+
+class TestTupleSort:
+    """sort_i32_tuple: full lexicographic row-tuple sort (2-key planes for
+    int64 keys; value-carrying sorts for materialize / GROUP BY)."""
+
+    def _oracle(self, cols):
+        # np.lexsort keys are LAST-significant-first
+        order = np.lexsort(tuple(reversed(cols)))
+        return [c[order] for c in cols]
+
+    def test_two_key_lexicographic(self):
+        r = _rng(31)
+        n = 3 * bs.BLK + 77
+        hi = r.integers(-20, 20, size=n, dtype=np.int32)
+        lo = r.integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        got = [np.asarray(a) for a in bs.sort_i32_tuple(
+            jnp.asarray(hi), jnp.asarray(lo), interpret=True)]
+        want = self._oracle([hi, lo])
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+    def test_key_value_association_exact(self):
+        # distinct keys: every (key, value) pair must survive verbatim
+        r = _rng(32)
+        n = 2 * bs.BLK + 13
+        keys = r.permutation(n).astype(np.int32) - n // 2
+        vals = (keys * 7 + 3).astype(np.int32)  # value determined by key
+        ks, vs = [np.asarray(a) for a in bs.sort_i32_tuple(
+            jnp.asarray(keys), jnp.asarray(vals), interpret=True)]
+        np.testing.assert_array_equal(ks, np.sort(keys))
+        np.testing.assert_array_equal(vs, ks * 7 + 3)
+
+    def test_duplicate_keys_values_tie_ordered(self):
+        # equal keys order by value (full-tuple comparator): lexsort oracle
+        r = _rng(33)
+        n = bs.BLK + 999
+        keys = r.integers(-3, 3, size=n, dtype=np.int32)
+        vals = r.integers(-10**6, 10**6, size=n, dtype=np.int32)
+        got = [np.asarray(a) for a in bs.sort_i32_tuple(
+            jnp.asarray(keys), jnp.asarray(vals), interpret=True)]
+        want = self._oracle([keys, vals])
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+    def test_genuine_all_max_rows_vs_padding(self):
+        # rows identical to the padding tuple are interchangeable with it;
+        # any other value paired with a MAX key must stay associated
+        n = bs.BLK + 100  # forces BLK-1+... padding rows
+        r = _rng(34)
+        keys = r.integers(-5, 5, size=n, dtype=np.int32)
+        vals = r.integers(-5, 5, size=n, dtype=np.int32)
+        keys[::31] = np.iinfo(np.int32).max
+        vals[::62] = np.iinfo(np.int32).max
+        got = [np.asarray(a) for a in bs.sort_i32_tuple(
+            jnp.asarray(keys), jnp.asarray(vals), interpret=True)]
+        want = self._oracle([keys, vals])
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+    def test_three_operands(self):
+        r = _rng(35)
+        n = 2 * bs.BLK
+        a = r.integers(-4, 4, size=n, dtype=np.int32)
+        b = r.integers(-4, 4, size=n, dtype=np.int32)
+        c = r.integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        got = [np.asarray(x) for x in bs.sort_i32_tuple(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), interpret=True)]
+        want = self._oracle([a, b, c])
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
