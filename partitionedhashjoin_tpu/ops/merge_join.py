@@ -50,6 +50,10 @@ def set_sort_impl(impl: str) -> None:
     _SORT_IMPL = impl
 
 
+def get_sort_impl() -> str:
+    return _SORT_IMPL
+
+
 def _key_sort(keys: jax.Array, impl: str, interpret: bool = False) -> jax.Array:
     """Unstable ascending 1-key int32 sort via the selected implementation."""
     if impl == "pallas":
@@ -276,21 +280,28 @@ class PreparedBuild:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
 def _materialize_i32(
     build_keys, build_payloads, probe_keys, probe_payloads,
-    interpret: bool = False,
+    interpret: bool = False, sort_impl: str = "xla",
 ):
-    a_keys, a_pay = jax.lax.sort(
-        (jnp.asarray(build_keys, jnp.int32),
-         jnp.asarray(build_payloads, jnp.int32)),
-        num_keys=1, is_stable=False,
-    )
-    b_keys, b_pay = jax.lax.sort(
-        (jnp.asarray(probe_keys, jnp.int32),
-         jnp.asarray(probe_payloads, jnp.int32)),
-        num_keys=1, is_stable=False,
-    )
+    def kv_sort(keys, pay):
+        # unstable key sort carrying the payload; the pallas tuple sorter
+        # orders ties by payload (full-lex) — any tie order is acceptable
+        if sort_impl == "pallas":
+            from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
+
+            return bitonic_sort.sort_i32_tuple(
+                jnp.asarray(keys, jnp.int32), jnp.asarray(pay, jnp.int32),
+                interpret=interpret,
+            )
+        return jax.lax.sort(
+            (jnp.asarray(keys, jnp.int32), jnp.asarray(pay, jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+
+    a_keys, a_pay = kv_sort(build_keys, build_payloads)
+    b_keys, b_pay = kv_sort(probe_keys, probe_payloads)
     pay_a, pos = merge_probe.ranged_merge_payload_prepared(
         a_keys, a_pay, b_keys, interpret=interpret
     )
@@ -361,7 +372,7 @@ def two_run_materialize(
 
     b_keys, pay_a, b_pay, pos, count = call(
         _materialize_i32, build_keys, build_payloads, probe_keys,
-        probe_payloads, interpret=interpret,
+        probe_payloads, interpret=interpret, sort_impl=_SORT_IMPL,
     )
     if int(jax.device_get(count)) == n_b:  # all-match: no compaction needed
         return b_keys, pay_a, b_pay, count

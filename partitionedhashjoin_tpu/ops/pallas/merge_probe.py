@@ -662,20 +662,29 @@ def _lex_searchsorted(ah, al, qh, ql, side: str):
     return lo
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
 def _count_i64_planes_full(
-    ah, al, bh, bl, interpret: bool = False
+    ah, al, bh, bl, interpret: bool = False, sort_impl: str = "xla"
 ) -> jax.Array:
     """Whole int64 count on int32 planes, ONE x64-off program: 2-key plane
     sorts (unstable 2-KEY sort measured 3.1 ns/el vs ~2x 2.1+ ns/el for the
     two x64 int64 sorts it replaces), plane tiling, lexicographic block
     ranges, work list, and the kernel — collapsing the round-2 int64 path's
     three dispatches (x64 sorts -> x64 prep -> x64-off kernel) into one
-    compiled program that never sees a 64-bit type (VERDICT_r02 #4)."""
+    compiled program that never sees a 64-bit type (VERDICT_r02 #4).
+
+    ``sort_impl='pallas'`` swaps the plane sorts for the Pallas tuple
+    sorter (full-lex (hi, lo) order == 2-key plane order)."""
     n_a = ah.shape[0]
     n_b = bh.shape[0]
-    ah, al = jax.lax.sort((ah, al), num_keys=2, is_stable=False)
-    bh, bl = jax.lax.sort((bh, bl), num_keys=2, is_stable=False)
+    if sort_impl == "pallas":
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
+
+        ah, al = bitonic_sort.sort_i32_tuple(ah, al, interpret=interpret)
+        bh, bl = bitonic_sort.sort_i32_tuple(bh, bl, interpret=interpret)
+    else:
+        ah, al = jax.lax.sort((ah, al), num_keys=2, is_stable=False)
+        bh, bl = jax.lax.sort((bh, bl), num_keys=2, is_stable=False)
 
     padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
     bh_pad = jnp.full((padded_b,), _I32_MAX, jnp.int32)
@@ -782,8 +791,13 @@ def two_run_count_i64_planes(
     bh, bl = _split_planes(probe_keys)
     from jax._src.config import enable_x64 as _enable_x64
 
+    from partitionedhashjoin_tpu.ops import merge_join
+
     with _enable_x64(False):
-        return _count_i64_planes_full(ah, al, bh, bl, interpret=interpret)
+        return _count_i64_planes_full(
+            ah, al, bh, bl, interpret=interpret,
+            sort_impl=merge_join.get_sort_impl(),
+        )
 
 
 @jax.jit

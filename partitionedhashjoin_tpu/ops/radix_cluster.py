@@ -273,10 +273,17 @@ class RadixHashJoiner:
 
         timer = timer or NoOpHashJoinTimer()
 
-        @jax.jit
-        def sort_both(a, b):
+        @functools.partial(jax.jit, static_argnames=("sort_impl",))
+        def sort_both(a, b, sort_impl="xla"):
             # one program for both fan-outs, like the reference running both
             # partition jobs concurrently on the pool (HashJoin.hpp:210-213)
+            if sort_impl == "pallas" and a.dtype == jnp.int32:
+                from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
+
+                return (
+                    bitonic_sort.sort_i32(a),
+                    bitonic_sort.sort_i32(b),
+                )
             return (
                 jax.lax.sort((a,), num_keys=1, is_stable=False)[0],
                 jax.lax.sort((b,), num_keys=1, is_stable=False)[0],
@@ -293,8 +300,16 @@ class RadixHashJoiner:
         dtype = jnp.int64 if use_i64 else jnp.int32
 
         timer.set_partitioning_phase_begin()
+        # the Pallas sorter needs a non-x64 trace (Mosaic re-traces under
+        # the global dtype config — see merge_probe); int64 keys and x64
+        # processes keep the XLA sort here
+        impl = (
+            merge_join.get_sort_impl()
+            if not use_i64 and not jax.config.jax_enable_x64
+            else "xla"
+        )
         a_sorted, b_sorted = sort_both(
-            a_keys.astype(dtype), b_keys.astype(dtype)
+            a_keys.astype(dtype), b_keys.astype(dtype), sort_impl=impl
         )
         sync((a_sorted, b_sorted))
         timer.set_partitioning_phase_end()

@@ -154,3 +154,38 @@ class TestTwoRunMaterialize:
         keys, pa, pb, count = two_run_materialize(some, some, z, z,
                                                   interpret=True)
         assert int(count) == 0 and keys.shape[0] == 0
+
+
+def test_two_run_materialize_pallas_sorter_agrees():
+    """Pallas tuple sorter as the partition step of the materialize path:
+    same count, same key column, same per-key payload multisets."""
+    from partitionedhashjoin_tpu.ops import merge_join
+
+    rng = np.random.default_rng(7)
+    n_a, n_b = 3000, 20000
+    a_keys = rng.integers(0, 4000, n_a).astype(np.int32)
+    a_pay = rng.integers(0, 10**6, n_a).astype(np.int32)
+    b_keys = rng.integers(0, 5000, n_b).astype(np.int32)
+    b_pay = rng.integers(0, 10**6, n_b).astype(np.int32)
+    args = (jnp.asarray(a_keys), jnp.asarray(a_pay),
+            jnp.asarray(b_keys), jnp.asarray(b_pay))
+    keys0, pa0, pb0, c0 = two_run_materialize(*args, interpret=True)
+    merge_join.set_sort_impl("pallas")
+    try:
+        keys1, pa1, pb1, c1 = two_run_materialize(*args, interpret=True)
+    finally:
+        merge_join.set_sort_impl("xla")
+    assert int(c0) == int(c1)
+    np.testing.assert_array_equal(np.asarray(keys0), np.asarray(keys1))
+    # payload-b multisets per key must agree (tie order differs by impl);
+    # payload-a may differ among duplicate build keys (first-match is
+    # impl-deterministic, not impl-portable) but must BE a payload of the key
+    pay_of_key = {}
+    for k, p in zip(a_keys.tolist(), a_pay.tolist()):
+        pay_of_key.setdefault(k, set()).add(p)
+    c = int(c0)
+    for k, p in zip(np.asarray(keys1)[:c].tolist(),
+                    np.asarray(pa1)[:c].tolist()):
+        assert p in pay_of_key[k]
+    assert sorted(np.asarray(pb0)[:c].tolist()) == \
+        sorted(np.asarray(pb1)[:c].tolist())

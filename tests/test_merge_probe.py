@@ -230,3 +230,27 @@ def test_two_run_count_pallas_sorter_agrees():
     oracle = int(sum(1 for k, v in zip(b.tolist(), bv.tolist())
                      if v and k in valid_build))
     assert got == want == oracle
+
+
+def test_int64_planes_pallas_sorter_agrees():
+    """The int64 plane path with the Pallas tuple sorter as its 2-key plane
+    sort: identical counts across the full int64 domain edges."""
+    import jax
+    from partitionedhashjoin_tpu.ops import merge_join
+    from partitionedhashjoin_tpu.ops.merge_join import two_run_count_i64
+
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(41)
+        a = rng.integers(-(2**62), 2**62, 5000).astype(np.int64)
+        b = rng.integers(-(2**62), 2**62, 30000).astype(np.int64)
+        b[:9000] = rng.choice(a, 9000)
+        M = np.iinfo(np.int64).max
+        a[::97] = M
+        b[::89] = M
+        merge_join.set_sort_impl("pallas")
+        try:
+            got = int(two_run_count_i64(jnp.asarray(a), jnp.asarray(b),
+                                        interpret=True))
+        finally:
+            merge_join.set_sort_impl("xla")
+        assert got == int(np.isin(b, a).sum())
