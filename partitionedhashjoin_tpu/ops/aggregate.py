@@ -165,7 +165,7 @@ def filter_aggregate(table: Table, predicate, seed: int = 0) -> GroupByResult:
     jax.jit,
     static_argnames=(
         "group_capacity", "has_valid", "with_group_of_row",
-        "kernel_compaction", "interpret",
+        "kernel_compaction", "interpret", "sort_impl",
     ),
 )
 def _sort_group_and_aggregate(
@@ -177,6 +177,7 @@ def _sort_group_and_aggregate(
     with_group_of_row: bool = False,
     kernel_compaction: bool = False,
     interpret: bool = False,
+    sort_impl: str = "xla",
 ) -> GroupByResult:
     n = keys.shape[0]
     if n == 0:
@@ -218,7 +219,15 @@ def _sort_group_and_aggregate(
     # pass 1: one unstable multi-key sort; extra operands are nearly free.
     # Invalid rows sort to the back, so the valid prefix is contiguous.
     ops = (inv, keys, payloads) + ((iota,) if with_group_of_row else ())
-    sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=False)
+    if sort_impl == "pallas" and all(o.dtype == jnp.int32 for o in ops):
+        # full-lex tuple order == (inv, key, payload) 3-key order (payload
+        # IS the 3rd key; an iota operand only breaks exact-duplicate ties,
+        # whose rows share a group).  All-MAX padding sorts past inv<=1.
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
+
+        sorted_ops = bitonic_sort.sort_i32_tuple(*ops, interpret=interpret)
+    else:
+        sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=False)
     inv_s, key_s, pay_s = sorted_ops[:3]
     valid_s = inv_s == 0
     n_valid = jnp.sum(valid_s.astype(jnp.int32))
@@ -355,6 +364,22 @@ def _kernel_compaction_choice(table: Table, compaction: str) -> bool:
     )
 
 
+def _pass1_sort_choice(table: Table) -> str:
+    """Pass-1 sort implementation: follows the engine-wide switch
+    (merge_join.set_sort_impl) with the same backend/dtype gates as the
+    compaction kernel — the tuple sorter is int32 Mosaic-only."""
+    from partitionedhashjoin_tpu.ops import merge_join
+
+    if (
+        merge_join.get_sort_impl() == "pallas"
+        and not jax.config.jax_enable_x64
+        and table.keys.dtype == jnp.int32
+        and table.payloads.dtype == jnp.int32
+    ):
+        return "pallas"
+    return "xla"
+
+
 def sort_aggregate(
     table: Table,
     group_capacity: "int | None" = None,
@@ -382,6 +407,7 @@ def sort_aggregate(
         with_group_of_row=with_group_of_row,
         kernel_compaction=_kernel_compaction_choice(table, compaction),
         interpret=interpret,
+        sort_impl=_pass1_sort_choice(table),
     )
 
 
@@ -410,5 +436,6 @@ def filter_sort_aggregate(
         with_group_of_row=with_group_of_row,
         kernel_compaction=_kernel_compaction_choice(table, compaction),
         interpret=interpret,
+        sort_impl=_pass1_sort_choice(table),
     )
     return g, jnp.sum(mask.astype(jnp.int32))

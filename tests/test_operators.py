@@ -420,3 +420,45 @@ def test_sort_aggregate_sums_stay_int32_under_x64():
         for i, k in enumerate(np.asarray(gs.keys)[:ns]):
             want = np.int32(pay[keys == k].astype(np.int64).sum() & 0xFFFFFFFF)
             assert np.asarray(gs.sum)[i] == want
+
+
+class TestSortAggregatePallasSorter:
+    def test_pass1_pallas_sorter_agrees(self):
+        """Engine-wide sorter switch drives GROUP BY pass 1: identical
+        GroupByResults (group order is key-ascending either way)."""
+        from partitionedhashjoin_tpu.ops import merge_join
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate,
+            sort_aggregate,
+        )
+
+        rng = np.random.default_rng(16)
+        n = 9000
+        keys = rng.integers(-50, 50, n).astype(np.int32)
+        pay = rng.integers(-100, 100, n).astype(np.int32)
+        t = make_table(keys, pay)
+        gs = sort_aggregate(t, compaction="sort")
+        merge_join.set_sort_impl("pallas")
+        try:
+            gp = sort_aggregate(t, compaction="sort", interpret=True)
+            fp, cp = filter_sort_aggregate(
+                t, lambda k, p: p > 0, compaction="sort", interpret=True
+            )
+        finally:
+            merge_join.set_sort_impl("xla")
+        num = int(gs.num_groups)
+        assert num == int(gp.num_groups)
+        for field in ("keys", "count", "sum", "min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gs, field))[:num],
+                np.asarray(getattr(gp, field))[:num],
+            )
+        fs, cs = filter_sort_aggregate(
+            t, lambda k, p: p > 0, compaction="sort"
+        )
+        assert int(cs) == int(cp)
+        num = int(fs.num_groups)
+        assert num == int(fp.num_groups)
+        np.testing.assert_array_equal(
+            np.asarray(fs.sum)[:num], np.asarray(fp.sum)[:num]
+        )
