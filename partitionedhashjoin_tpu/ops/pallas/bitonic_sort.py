@@ -103,10 +103,18 @@ def _compare_exchange(xs, take_min, d: int):
     return [jnp.where(swap, p, x) for p, x in zip(ps, xs)]
 
 
-def _bitonic_sort_block(xs):
-    """91-stage bitonic sort of one (ROWS, LANES) block, flat row-major."""
-    i = _flat_iota()
-    for k in range(1, LOG_BLK + 1):
+def _bitonic_sort_block(xs, rows: int = ROWS):
+    """Bitonic sort of one (rows, LANES) block, flat row-major.
+
+    Stage count is log_m(log_m+1)/2 with m = rows*LANES — 91 at 8192.
+    Larger blocks cost NO extra VPU work overall: the stage counts
+    telescope (sort(4m) = sort(m) + the two merge levels the saved HBM
+    passes would have run anyway), so phase-A block size is a pure
+    HBM-pass saving; see _sort_padded's block_rows."""
+    m = rows * LANES
+    log_m = m.bit_length() - 1
+    i = _flat_iota(rows)
+    for k in range(1, log_m + 1):
         up = ((i >> k) & 1) == 0  # ascending region at this merge level
         for j in range(k - 1, -1, -1):
             d = 1 << j
@@ -126,28 +134,32 @@ def _bitonic_merge_block(xs):
     return xs
 
 
-def _sort_blocks_kernel(*refs):
-    k = len(refs) // 2
-    out = _bitonic_sort_block([r[...] for r in refs[:k]])
-    for o_ref, o in zip(refs[k:], out):
-        o_ref[...] = o
+def _make_sort_blocks_kernel(rows: int):
+    def kernel(*refs):
+        k = len(refs) // 2
+        out = _bitonic_sort_block([r[...] for r in refs[:k]], rows)
+        for o_ref, o in zip(refs[k:], out):
+            o_ref[...] = o
+
+    return kernel
 
 
-def _sort_blocks(xs, interpret: bool):
+def _sort_blocks(xs, interpret: bool, rows: int = ROWS):
     n = xs[0].shape[0]
-    num_blocks = n // BLK
+    blk = rows * LANES
+    num_blocks = n // blk
     k = len(xs)
-    spec = pl.BlockSpec((ROWS, LANES), lambda w: (w, 0),
+    spec = pl.BlockSpec((rows, LANES), lambda w: (w, 0),
                         memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((num_blocks * ROWS, LANES), jnp.int32)
+    shape = jax.ShapeDtypeStruct((num_blocks * rows, LANES), jnp.int32)
     out = pl.pallas_call(
-        _sort_blocks_kernel,
+        _make_sort_blocks_kernel(rows),
         grid=(num_blocks,),
         in_specs=[spec] * k,
         out_specs=[spec] * k,
         out_shape=[shape] * k,
         interpret=interpret,
-    )(*[x.reshape(num_blocks * ROWS, LANES) for x in xs])
+    )(*[x.reshape(num_blocks * rows, LANES) for x in xs])
     return [o.reshape(n) for o in out]
 
 
@@ -389,19 +401,27 @@ def merge_pass_i32(
     return out[0].reshape(-1)[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sort_padded(xps, interpret: bool = False):
+#: Phase-A block rows (elements = rows * 128).  Each 4x block size saves two
+#: full HBM merge passes at zero extra VPU stages (see _bitonic_sort_block);
+#: the ceiling is VMEM pipelining + Mosaic compile time for the unrolled
+#: network.  Tuned on chip via scripts/probe_bitonic.py.
+DEFAULT_BLOCK_ROWS = ROWS
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def _sort_padded(xps, interpret: bool = False, block_rows: int = ROWS):
     """Block sort + all merge passes in ONE program (a dispatch through the
     relay costs ~25 ms; 15 passes must not pay it 15 times).  The arrays
     stay in padded rows form across passes — each pass touches HBM exactly
     once for read and once for write per operand."""
     n = xps[0].shape[0]
-    num_blocks = n // BLK
-    xps = _sort_blocks(list(xps), interpret)
+    blk = block_rows * LANES
+    num_blocks = n // blk
+    xps = _sort_blocks(list(xps), interpret, rows=block_rows)
     passes = max(num_blocks - 1, 0).bit_length()  # ceil(log2(num_blocks))
 
     def body(p, xs_rows):
-        run_len = jax.lax.shift_left(jnp.int32(BLK), p)
+        run_len = jax.lax.shift_left(jnp.int32(blk), p)
         return tuple(_merge_pass_rows(list(xs_rows), n, run_len, interpret))
 
     out = jax.lax.fori_loop(
@@ -419,7 +439,11 @@ def sort_i32(x: jax.Array, interpret: bool = False) -> jax.Array:
     return sort_i32_tuple(x, interpret=interpret)[0]
 
 
-def sort_i32_tuple(*operands: jax.Array, interpret: bool = False):
+def sort_i32_tuple(
+    *operands: jax.Array,
+    interpret: bool = False,
+    block_rows: "int | None" = None,
+):
     """Unstable ascending sort of int32 row TUPLES in full lexicographic
     order: sorted by operand 0, ties by operand 1, and so on.  Returns the
     reordered operands as a list.
@@ -438,12 +462,18 @@ def sort_i32_tuple(*operands: jax.Array, interpret: bool = False):
         assert o.shape[0] == n, "operands must share a length"
     if n == 0:
         return [jnp.asarray(o, jnp.int32) for o in operands]
-    padded = (n + BLK - 1) // BLK * BLK
+    rows = DEFAULT_BLOCK_ROWS if block_rows is None else block_rows
+    # small inputs: shrink the phase-A block down to one BLK so padding
+    # never exceeds one super block's worth of work
+    while rows > ROWS and (rows // 2) * LANES >= n:
+        rows //= 2
+    blk = rows * LANES
+    padded = (n + blk - 1) // blk * blk
     xps = []
     for o in operands:
         xp = jnp.full((padded,), _I32_MAX, jnp.int32)
         xps.append(
             jax.lax.dynamic_update_slice(xp, jnp.asarray(o, jnp.int32), (0,))
         )
-    out = _sort_padded(tuple(xps), interpret=interpret)
+    out = _sort_padded(tuple(xps), interpret=interpret, block_rows=rows)
     return [o[:n] for o in out]

@@ -29,7 +29,7 @@ from partitionedhashjoin_tpu.utils.device import sync
 
 N = int(os.environ.get("PHJ_PROBE_N", 200_000_000))
 STAGES = os.environ.get(
-    "PHJ_PROBE_STAGES", "blocks,merge,full,xla_runs"
+    "PHJ_PROBE_STAGES", "blocks,merge,full,blockrows,tuple,xla_runs"
 ).split(",")
 
 
@@ -122,6 +122,45 @@ def main():
         same = int(s) == int(jnp.sum(x.astype(jnp.uint32)))
         log(f"  fully ascending: {bool(okb)}, checksum match: {same}")
         log(f"  SPEEDUP vs XLA: {t_xla / t:.2f}x")
+
+    if "blockrows" in STAGES:
+        # phase-A block size: each 4x saves two HBM merge passes at zero
+        # extra VPU stages (stage counts telescope); ceiling = VMEM/compile
+        for rows in (256, 512, 1024):
+            try:
+                y, t = timed(
+                    f"FULL sort_i32 block_rows={rows}",
+                    lambda v, r=rows: bs.sort_i32_tuple(
+                        v, block_rows=r)[0], x,
+                )
+                okb, s = checksum(y)
+                log(f"  ascending: {bool(okb)}, checksum "
+                    f"{int(s) == int(jnp.sum(x.astype(jnp.uint32)))},"
+                    f"  vs XLA {t_xla / t:.2f}x")
+            except Exception as e:  # Mosaic limits surface per-size
+                log(f"  block_rows={rows} FAILED: {type(e).__name__}: "
+                    f"{str(e)[:300]}")
+
+    if "tuple" in STAGES:
+        v = jax.random.randint(
+            jax.random.PRNGKey(1), (padded,), -(2**31), 2**31 - 1,
+            dtype=jnp.int32,
+        )
+
+        @jax.jit
+        def xla2(x, v):
+            return jax.lax.sort((x, v), num_keys=2, is_stable=False)
+
+        _, t2 = timed("xla unstable 2-key sort", lambda a, b: xla2(a, b)[0],
+                      x, v)
+        y, t = timed(
+            "pallas tuple sort k=2",
+            lambda a, b: bs.sort_i32_tuple(a, b)[0], x, v,
+        )
+        okb, s = checksum(y)
+        log(f"  keys ascending: {bool(okb)}, checksum "
+            f"{int(s) == int(jnp.sum(x.astype(jnp.uint32)))},"
+            f"  vs XLA 2-key {t2 / t:.2f}x")
 
     if "xla_runs" in STAGES:
         for runs in (2, 8, 32, 128, 1024):

@@ -210,3 +210,25 @@ class TestTupleSort:
         want = self._oracle([a, b, c])
         for g, w in zip(got, want):
             np.testing.assert_array_equal(g, w)
+
+
+class TestBlockRows:
+    @pytest.mark.parametrize("rows", [128, 256])
+    def test_larger_phase_a_blocks(self, rows):
+        n = 3 * rows * bs.LANES + 7777
+        x = _rng(rows).integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        got = np.asarray(
+            bs.sort_i32_tuple(jnp.asarray(x), interpret=True,
+                              block_rows=rows)[0]
+        )
+        np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_small_input_clamps_block(self):
+        # n far below the super block: the clamp must shrink rows
+        n = 1000
+        x = _rng(99).integers(-100, 100, size=n, dtype=np.int32)
+        got = np.asarray(
+            bs.sort_i32_tuple(jnp.asarray(x), interpret=True,
+                              block_rows=1024)[0]
+        )
+        np.testing.assert_array_equal(got, np.sort(x))
