@@ -214,6 +214,45 @@ def main() -> int:
                 [("NumberOfPartitions", str(parts))],
             )
             columns.append((f"Radix_{parts}", doc))
+    if "nopart-chained" in args.algos:
+        # literal-table parity mode (chained-bucket probe), for the grid's
+        # NoPartChained column
+        from partitionedhashjoin_tpu.config import NoPartitioningConfiguration
+        from partitionedhashjoin_tpu.ops.no_partitioning import (
+            NoPartitioningHashJoiner,
+        )
+
+        doc = record(
+            NoPartitioningHashJoiner(
+                NoPartitioningConfiguration(mode="chained"), seed=7
+            ),
+            "NoPartitioning",
+            "partitions_1_chained.txt",
+            [("Mode", "chained")],
+        )
+        columns.append(("NoPartChained", doc))
+    if "radix-2pass" in args.algos:
+        # BASELINE configs[1]'s "two-pass radix cluster" point (VERDICT_r02
+        # missing #4): chained mode with partition_passes=2 — the Manegold
+        # multi-pass fan-out, recorded to show where it lands on TPU
+        from partitionedhashjoin_tpu.ops.radix_cluster import RadixHashJoiner
+
+        for parts in args.partitions[:1]:
+            joiner = RadixHashJoiner(
+                RadixClusteringConfiguration(
+                    number_of_partitions=parts, mode="chained",
+                    partition_passes=2,
+                ),
+                seed=7,
+            )
+            doc = record(
+                joiner,
+                "RadixPartitioning",
+                f"partitions_{parts}_2pass.txt",
+                [("NumberOfPartitions", str(parts)), ("Mode", "chained"),
+                 ("PartitionPasses", "2")],
+            )
+            columns.append((f"Radix2Pass_{parts}", doc))
     if "radix-chained" in args.algos:
         # the reference-structured hash fan-out + chained tables mode, for
         # the parity record (the vmem mode above is the shipped default)
