@@ -187,6 +187,16 @@ def main() -> None:
     sync((table_a.keys, table_b.keys))
     log(f"generate: {time.perf_counter() - t0:.1f}s")
 
+    # partition-step sort implementation (ops/pallas/bitonic_sort vs
+    # jax.lax.sort); default decided by on-chip measurement — see
+    # docs/PERFORMANCE.md "Hand-written sorter"
+    sort_impl = os.environ.get("PHJ_SORT_IMPL", "xla")
+    if sort_impl != "xla":
+        from partitionedhashjoin_tpu.ops import merge_join
+
+        merge_join.set_sort_impl(sort_impl)
+        log(f"sort impl: {sort_impl}")
+
     best = None
     roofline_json = {}
     for algo in algos:

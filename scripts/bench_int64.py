@@ -32,7 +32,17 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def _apply_sort_impl():
+    impl = os.environ.get("PHJ_SORT_IMPL", "xla")
+    if impl != "xla":
+        from partitionedhashjoin_tpu.ops import merge_join
+
+        merge_join.set_sort_impl(impl)
+        log(f"sort impl: {impl}")
+
+
 def main():
+    _apply_sort_impl()
     n_a = int(os.environ.get("PHJ_BENCH_PRIMARY", 10_000_000))
     n_b = int(os.environ.get("PHJ_BENCH_SECONDARY", 200_000_000))
     skew = float(os.environ.get("PHJ_BENCH_SKEW", 1.05))

@@ -43,7 +43,17 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+def _apply_sort_impl():
+    impl = os.environ.get("PHJ_SORT_IMPL", "xla")
+    if impl != "xla":
+        from partitionedhashjoin_tpu.ops import merge_join
+
+        merge_join.set_sort_impl(impl)
+        log(f"sort impl: {impl}")
+
+
 def main():
+    _apply_sort_impl()
     from partitionedhashjoin_tpu.ops.generators import zipf_keys
 
     log(f"device: {jax.devices()[0]}; {N_A} ⋈ {N_B} skew {SKEW}")

@@ -232,3 +232,18 @@ class TestBlockRows:
                               block_rows=1024)[0]
         )
         np.testing.assert_array_equal(got, np.sort(x))
+
+    def test_heavy_duplicates_many_blocks_with_payload(self):
+        # diagonal splits land inside giant tie runs across 6+ blocks; the
+        # full-tuple comparator must still produce exact lexsort order
+        r = _rng(36)
+        n = 6 * bs.BLK + 4321
+        keys = np.where(
+            r.random(n) < 0.8, 7, r.integers(-9, 9, size=n)
+        ).astype(np.int32)
+        vals = r.integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        got = [np.asarray(a) for a in bs.sort_i32_tuple(
+            jnp.asarray(keys), jnp.asarray(vals), interpret=True)]
+        order = np.lexsort((vals, keys))
+        np.testing.assert_array_equal(got[0], keys[order])
+        np.testing.assert_array_equal(got[1], vals[order])
