@@ -201,7 +201,7 @@ class TestTupleSort:
 
     def test_three_operands(self):
         r = _rng(35)
-        n = 2 * bs.BLK
+        n = bs.BLK + 700  # 2 blocks after padding: still a real merge pass
         a = r.integers(-4, 4, size=n, dtype=np.int32)
         b = r.integers(-4, 4, size=n, dtype=np.int32)
         c = r.integers(-(2**31), 2**31, size=n, dtype=np.int32)

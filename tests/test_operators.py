@@ -433,7 +433,7 @@ class TestSortAggregatePallasSorter:
         )
 
         rng = np.random.default_rng(16)
-        n = 9000
+        n = 3000
         keys = rng.integers(-50, 50, n).astype(np.int32)
         pay = rng.integers(-100, 100, n).astype(np.int32)
         t = make_table(keys, pay)
