@@ -190,11 +190,10 @@ def main() -> None:
     # partition-step sort implementation (ops/pallas/bitonic_sort vs
     # jax.lax.sort); default decided by on-chip measurement — see
     # docs/PERFORMANCE.md "Hand-written sorter"
-    sort_impl = os.environ.get("PHJ_SORT_IMPL", "xla")
-    if sort_impl != "xla":
-        from partitionedhashjoin_tpu.ops import merge_join
+    from partitionedhashjoin_tpu.ops import merge_join
 
-        merge_join.set_sort_impl(sort_impl)
+    sort_impl = merge_join.set_sort_impl_from_env()
+    if sort_impl != "xla":
         log(f"sort impl: {sort_impl}")
 
     best = None
@@ -236,6 +235,7 @@ def main() -> None:
                 "unit": "rows/s",
                 "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
                 "generation_path": gen_path,
+                "sort_impl": sort_impl,
                 "roofline_fraction_single_touch": roofline_json,
             }
         )

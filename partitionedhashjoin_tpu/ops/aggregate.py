@@ -353,6 +353,16 @@ def _kernel_compaction_choice(table: Table, compaction: str) -> bool:
     if compaction == "sort":
         return False
     if compaction == "kernel":
+        # the kernel is 32-bit: forcing it with wider columns would silently
+        # truncate the carried cumsum/key/payload (exactness is
+        # non-negotiable — round-3 review repro: int64 payloads of 2^33
+        # returned wrong sums with no error)
+        if table.keys.dtype != jnp.int32 or table.payloads.dtype != jnp.int32:
+            raise TypeError(
+                "compaction='kernel' is int32-only (keys "
+                f"{table.keys.dtype}, payloads {table.payloads.dtype}); "
+                "use compaction='sort' for wider columns"
+            )
         return True
     from partitionedhashjoin_tpu.ops import merge_join
 
@@ -364,14 +374,16 @@ def _kernel_compaction_choice(table: Table, compaction: str) -> bool:
     )
 
 
-def _pass1_sort_choice(table: Table) -> str:
+def _pass1_sort_choice(table: Table, interpret: bool = False) -> str:
     """Pass-1 sort implementation: follows the engine-wide switch
     (merge_join.set_sort_impl) with the same backend/dtype gates as the
-    compaction kernel — the tuple sorter is int32 Mosaic-only."""
+    compaction kernel — the tuple sorter is int32 Mosaic-only (or the
+    Pallas interpreter when ``interpret`` is set, as in tests)."""
     from partitionedhashjoin_tpu.ops import merge_join
 
     if (
         merge_join.get_sort_impl() == "pallas"
+        and (merge_join.supported() or interpret)
         and not jax.config.jax_enable_x64
         and table.keys.dtype == jnp.int32
         and table.payloads.dtype == jnp.int32
@@ -407,7 +419,7 @@ def sort_aggregate(
         with_group_of_row=with_group_of_row,
         kernel_compaction=_kernel_compaction_choice(table, compaction),
         interpret=interpret,
-        sort_impl=_pass1_sort_choice(table),
+        sort_impl=_pass1_sort_choice(table, interpret),
     )
 
 
@@ -436,6 +448,6 @@ def filter_sort_aggregate(
         with_group_of_row=with_group_of_row,
         kernel_compaction=_kernel_compaction_choice(table, compaction),
         interpret=interpret,
-        sort_impl=_pass1_sort_choice(table),
+        sort_impl=_pass1_sort_choice(table, interpret),
     )
     return g, jnp.sum(mask.astype(jnp.int32))

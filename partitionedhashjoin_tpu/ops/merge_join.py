@@ -54,6 +54,16 @@ def get_sort_impl() -> str:
     return _SORT_IMPL
 
 
+def set_sort_impl_from_env() -> str:
+    """Apply the PHJ_SORT_IMPL env knob (benches); returns the active impl."""
+    import os
+
+    impl = os.environ.get("PHJ_SORT_IMPL", "xla")
+    if impl != "xla":
+        set_sort_impl(impl)
+    return _SORT_IMPL
+
+
 def _key_sort(keys: jax.Array, impl: str, interpret: bool = False) -> jax.Array:
     """Unstable ascending 1-key int32 sort via the selected implementation."""
     if impl == "pallas":

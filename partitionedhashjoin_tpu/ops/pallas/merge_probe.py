@@ -226,6 +226,59 @@ def _work_items(run_start, lo, hi, n_tiles: int, num_blocks: int):
     return blk, tile_w, len_w
 
 
+def _prepare_probe_ranges(a_sorted, b_sorted, exclude_int32_max: bool):
+    """Shared int32 probe prep (the count / payload kernels differ only in
+    what each work item EMITS): probe padding to a BLOCK multiple, build
+    tiling, per-block build ranges from the block boundary keys
+    (searchsorted over the genuine build prefix, widened outward to tile
+    alignment — the extra edge keys are < block-min or > block-max and can
+    never match), the static (block, run-start tile) work list (Mosaic
+    cannot legalize data-dependent loop bounds inside the kernel, so the
+    tile walk becomes extra grid steps; see _work_items for the
+    enumeration and its capacity proof), and the duplicate-dedup scalars
+    (the build key just before each chunk).
+
+    ``exclude_int32_max=True`` clamps every searched range below the first
+    INT32_MAX build key — the validity-mask protocol of ops/merge_join.py.
+
+    Returns ``(b_pad, num_blocks, tiles, n_tiles, blk, tile_w, len_w,
+    prev_last, prev_valid)``.
+    """
+    n_b = b_sorted.shape[0]
+    padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
+    b_pad = jnp.full((padded_b,), _I32_MAX, jnp.int32)
+    b_pad = jax.lax.dynamic_update_slice(
+        b_pad, b_sorted.astype(jnp.int32), (0,)
+    )
+    num_blocks = padded_b // BLOCK
+
+    tiles, n_tiles = tile_build_side(a_sorted)
+    a_flat = tiles.transpose(0, 2, 1).reshape(-1)  # padded flat sorted keys
+
+    firsts = b_pad[::BLOCK]
+    lasts = b_pad[BLOCK - 1 :: BLOCK]
+    a32 = a_sorted.astype(jnp.int32)
+    lo = jnp.searchsorted(a32, firsts, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(a32, lasts, side="right").astype(jnp.int32)
+    if exclude_int32_max:
+        limit = jnp.searchsorted(
+            a32, jnp.asarray(_I32_MAX, jnp.int32), side="left"
+        ).astype(jnp.int32)
+        lo = jnp.minimum(lo, limit)
+        hi = jnp.minimum(hi, limit)
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), a_flat[1:] != a_flat[:-1]]
+    )
+    blk, tile_w, len_w = _work_items(run_start, lo, hi, n_tiles, num_blocks)
+    gpos = tile_w * CAP  # global flat position of this chunk's first key
+    prev_valid = (gpos > 0).astype(jnp.int32)
+    prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
+    return (
+        b_pad, num_blocks, tiles, n_tiles, blk, tile_w, len_w,
+        prev_last, prev_valid,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("interpret", "exclude_int32_max")
 )
@@ -249,41 +302,13 @@ def ranged_merge_count_prepared(
     if n_a == 0 or n_b == 0:
         return jnp.asarray(0, jnp.int32)
 
-    # probe padding to a BLOCK multiple (INT32_MAX; corrected below)
-    padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
-    b_pad = jnp.full((padded_b,), _I32_MAX, jnp.int32)
-    b_pad = jax.lax.dynamic_update_slice(b_pad, b_sorted.astype(jnp.int32), (0,))
-    num_blocks = padded_b // BLOCK
-
-    tiles, n_tiles = tile_build_side(a_sorted)
-    a_flat = tiles.transpose(0, 2, 1).reshape(-1)  # padded flat sorted keys
-
-    # per-block build ranges from the block boundary keys (searchsorted over
-    # the genuine build prefix), widened outward to tile alignment — the
-    # extra edge keys are < block-min or > block-max and can never match
-    firsts = b_pad[::BLOCK]
-    lasts = b_pad[BLOCK - 1 :: BLOCK]
+    (
+        b_pad, num_blocks, tiles, n_tiles, blk, tile_w, len_w,
+        prev_last, prev_valid,
+    ) = _prepare_probe_ranges(a_sorted, b_sorted, exclude_int32_max)
+    padded_b = num_blocks * BLOCK
     a32 = a_sorted.astype(jnp.int32)
-    lo = jnp.searchsorted(a32, firsts, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(a32, lasts, side="right").astype(jnp.int32)
-    if exclude_int32_max:
-        limit = jnp.searchsorted(
-            a32, jnp.asarray(_I32_MAX, jnp.int32), side="left"
-        ).astype(jnp.int32)
-        lo = jnp.minimum(lo, limit)
-        hi = jnp.minimum(hi, limit)
-    # ---- flatten (block, run-start tile) pairs into a static work list.
-    # Mosaic cannot legalize data-dependent loop bounds inside the kernel,
-    # so the tile walk becomes extra grid steps; see _work_items for the
-    # enumeration and its capacity proof.
-    run_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), a_flat[1:] != a_flat[:-1]]
-    )
-    blk, tile_w, len_w = _work_items(run_start, lo, hi, n_tiles, num_blocks)
     w_cap = 2 * num_blocks + n_tiles
-    gpos = tile_w * CAP  # global flat position of this chunk's first key
-    prev_valid = (gpos > 0).astype(jnp.int32)
-    prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
 
     # trace with x64 canonicalization off — see ranged_merge_count_i64:
     # Mosaic rejects the int64 take_along_axis indices x64 mode introduces
@@ -474,39 +499,15 @@ def ranged_merge_payload_prepared(
         z = jnp.zeros((n_b,), jnp.int32)
         return z, z
 
-    padded_b = (n_b + BLOCK - 1) // BLOCK * BLOCK
-    b_pad = jnp.full((padded_b,), _I32_MAX, jnp.int32)
-    b_pad = jax.lax.dynamic_update_slice(
-        b_pad, b_sorted.astype(jnp.int32), (0,)
-    )
-    num_blocks = padded_b // BLOCK
-
-    tiles, n_tiles = tile_build_side(a_sorted)
+    (
+        b_pad, num_blocks, tiles, n_tiles, blk, tile_w, len_w,
+        prev_last, prev_valid,
+    ) = _prepare_probe_ranges(a_sorted, b_sorted, exclude_int32_max)
     pay_pad = jnp.zeros((n_tiles * CAP,), jnp.int32)
     pay_pad = jax.lax.dynamic_update_slice(
         pay_pad, a_payloads.astype(jnp.int32), (0,)
     )
     pay_tiles = pay_pad.reshape(n_tiles, LANES, SUBL).transpose(0, 2, 1)
-    a_flat = tiles.transpose(0, 2, 1).reshape(-1)
-
-    firsts = b_pad[::BLOCK]
-    lasts = b_pad[BLOCK - 1 :: BLOCK]
-    a32 = a_sorted.astype(jnp.int32)
-    lo = jnp.searchsorted(a32, firsts, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(a32, lasts, side="right").astype(jnp.int32)
-    if exclude_int32_max:
-        limit = jnp.searchsorted(
-            a32, jnp.asarray(_I32_MAX, jnp.int32), side="left"
-        ).astype(jnp.int32)
-        lo = jnp.minimum(lo, limit)
-        hi = jnp.minimum(hi, limit)
-    run_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), a_flat[1:] != a_flat[:-1]]
-    )
-    blk, tile_w, len_w = _work_items(run_start, lo, hi, n_tiles, num_blocks)
-    gpos = tile_w * CAP
-    prev_valid = (gpos > 0).astype(jnp.int32)
-    prev_last = a_flat[jnp.maximum(gpos - 1, 0)]
 
     from jax._src.config import enable_x64 as _enable_x64
 

@@ -300,12 +300,18 @@ class RadixHashJoiner:
         dtype = jnp.int64 if use_i64 else jnp.int32
 
         timer.set_partitioning_phase_begin()
-        # the Pallas sorter needs a non-x64 trace (Mosaic re-traces under
-        # the global dtype config — see merge_probe); int64 keys and x64
-        # processes keep the XLA sort here
+        # the Pallas sorter needs a Mosaic backend AND a non-x64 trace
+        # (Mosaic re-traces under the global dtype config — see
+        # merge_probe); int64 keys, x64 processes, and non-Mosaic backends
+        # keep the XLA sort here (round-3 review: a leaked engine-wide
+        # 'pallas' switch must fall back, not crash, on CPU)
         impl = (
             merge_join.get_sort_impl()
-            if not use_i64 and not jax.config.jax_enable_x64
+            if (
+                merge_join.supported()
+                and not use_i64
+                and not jax.config.jax_enable_x64
+            )
             else "xla"
         )
         a_sorted, b_sorted = sort_both(

@@ -224,7 +224,9 @@ def _match_probe_rows(build_keys, probe_keys, build_payloads=None):
         hit = jnp.zeros((n_b,), jnp.bool_)
         row = jnp.zeros((n_b,), jnp.int32)
         if with_pay_early:
-            pay_dt = jnp.asarray(build_payloads).dtype if n_a else jnp.int32
+            # dtype must not flip on emptiness (round-3 review: an empty
+            # partition's JoinedTable would not concatenate with its peers)
+            pay_dt = jnp.asarray(build_payloads).dtype
             return hit, row, jnp.zeros((n_b,), pay_dt)
         return hit, row
     dtype = _key_dtype(build_keys, probe_keys)

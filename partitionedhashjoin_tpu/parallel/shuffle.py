@@ -714,8 +714,20 @@ class DistributedShuffleJoiner:
             timer.set_build_phase_begin()
             timer.set_build_phase_end()
             timer.set_probe_phase_begin()
-            if merge_join.supported():
+            wide = (jnp.int64, jnp.uint64)
+            i64 = (
+                jnp.asarray(table_a.keys).dtype in wide
+                or jnp.asarray(table_b.keys).dtype in wide
+            )
+            if merge_join.supported() and not i64:
                 count = merge_join.two_run_count(table_a.keys, table_b.keys)
+            elif merge_join.supported() and jax.config.jax_enable_x64:
+                # int64 keys route to the plane kernel, mirroring
+                # SortMergeJoiner.count (round-3 review: two_run_count now
+                # refuses 64-bit keys rather than truncating)
+                count = merge_join.two_run_count_i64(
+                    table_a.keys, table_b.keys
+                )
             else:
                 count = sort_merge_count(table_a.keys, table_b.keys)
             count = int(jax.device_get(count))

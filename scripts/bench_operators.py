@@ -38,11 +38,10 @@ def log(m):
 
 
 def _apply_sort_impl():
-    impl = os.environ.get("PHJ_SORT_IMPL", "xla")
-    if impl != "xla":
-        from partitionedhashjoin_tpu.ops import merge_join
+    from partitionedhashjoin_tpu.ops import merge_join
 
-        merge_join.set_sort_impl(impl)
+    impl = merge_join.set_sort_impl_from_env()
+    if impl != "xla":
         log(f"sort impl: {impl}")
 
 

@@ -189,3 +189,31 @@ def test_two_run_materialize_pallas_sorter_agrees():
         assert p in pay_of_key[k]
     assert sorted(np.asarray(pb0)[:c].tolist()) == \
         sorted(np.asarray(pb1)[:c].tolist())
+
+
+def test_payload_kernel_multiple_probe_blocks():
+    """Round-3 review gap: shipped payload-kernel tests covered one probe
+    block; this one spans two 64K blocks with duplicates at the seam."""
+    rng = np.random.default_rng(8)
+    from partitionedhashjoin_tpu.ops.pallas.merge_probe import (
+        BLOCK,
+        ranged_merge_payload_prepared,
+    )
+
+    n_a, n_b = 3000, BLOCK + 1777
+    a_keys = np.sort(rng.integers(0, 2500, n_a).astype(np.int32))
+    a_pay = (np.arange(n_a) + 11).astype(np.int32)
+    b_keys = np.sort(rng.integers(0, 3000, n_b).astype(np.int32))
+    pay, pos = ranged_merge_payload_prepared(
+        jnp.asarray(a_keys), jnp.asarray(a_pay), jnp.asarray(b_keys),
+        interpret=True,
+    )
+    pos = np.asarray(pos)
+    pay = np.asarray(pay)
+    first_idx = np.searchsorted(a_keys, b_keys, side="left")
+    hit = (first_idx < n_a) & (a_keys[np.minimum(first_idx, n_a - 1)] == b_keys)
+    np.testing.assert_array_equal(pos > 0, hit)
+    np.testing.assert_array_equal(
+        pos[hit], first_idx[hit] + 1
+    )
+    np.testing.assert_array_equal(pay[hit], a_pay[first_idx[hit]])

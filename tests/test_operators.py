@@ -462,3 +462,19 @@ class TestSortAggregatePallasSorter:
         np.testing.assert_array_equal(
             np.asarray(fs.sum)[:num], np.asarray(fp.sum)[:num]
         )
+
+
+def test_forced_kernel_compaction_refuses_wide_columns():
+    """Round-3 review: compaction='kernel' with non-int32 columns must
+    raise, never silently truncate the carried cumsum."""
+    import jax
+    import pytest as _pytest
+    from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+    with jax.enable_x64(True):
+        keys = jnp.asarray(np.arange(100) % 5, jnp.int32)
+        pay = jnp.asarray(np.full(100, 2**33), jnp.int64)
+        t = make_table(np.asarray(keys), np.zeros(100, np.int32))
+        t = type(t)(keys=keys, payloads=pay)
+        with _pytest.raises(TypeError, match="int32-only"):
+            sort_aggregate(t, compaction="kernel", interpret=True)
