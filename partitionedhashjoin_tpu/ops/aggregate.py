@@ -381,9 +381,15 @@ def _pass1_sort_choice(table: Table, interpret: bool = False) -> str:
     Pallas interpreter when ``interpret`` is set, as in tests)."""
     from partitionedhashjoin_tpu.ops import merge_join
 
+    impl = merge_join.get_sort_impl()
+    if impl == "auto":
+        # auto never uses the interpreter (CPU suite speed); explicit
+        # "pallas" + interpret stays reachable for tests
+        impl = "pallas" if merge_join.supported() else "xla"
+    elif impl == "pallas" and not (merge_join.supported() or interpret):
+        impl = "xla"
     if (
-        merge_join.get_sort_impl() == "pallas"
-        and (merge_join.supported() or interpret)
+        impl == "pallas"
         and not jax.config.jax_enable_x64
         and table.keys.dtype == jnp.int32
         and table.payloads.dtype == jnp.int32

@@ -39,15 +39,24 @@ _I32_MAX = jnp.iinfo(jnp.int32).max
 #   "xla"    jax.lax.sort (2.1 ns/el measured on chip)
 #   "pallas" ops/pallas/bitonic_sort.sort_i32 (in-register block sort +
 #            merge-path passes; see docs/PERFORMANCE.md for measured cost)
+#   "auto"   pallas on a real Mosaic backend, xla under interpret/CPU (so
+#            the CPU test suite never pays interpret-mode network sorts)
 # Module-level because it is a backend-tuning fact, not a per-call choice.
 _SORT_IMPL = "xla"
 
 
 def set_sort_impl(impl: str) -> None:
     global _SORT_IMPL
-    if impl not in ("xla", "pallas"):
+    if impl not in ("xla", "pallas", "auto"):
         raise ValueError(f"unknown sort impl {impl!r}")
     _SORT_IMPL = impl
+
+
+def resolve_sort_impl(impl: str, interpret: bool = False) -> str:
+    """Collapse "auto" to a concrete impl for the current backend."""
+    if impl == "auto":
+        return "pallas" if (not interpret and supported()) else "xla"
+    return impl
 
 
 def get_sort_impl() -> str:
@@ -66,6 +75,7 @@ def set_sort_impl_from_env() -> str:
 
 def _key_sort(keys: jax.Array, impl: str, interpret: bool = False) -> jax.Array:
     """Unstable ascending 1-key int32 sort via the selected implementation."""
+    impl = resolve_sort_impl(impl, interpret)
     if impl == "pallas":
         from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
 
@@ -298,7 +308,7 @@ def _materialize_i32(
     def kv_sort(keys, pay):
         # unstable key sort carrying the payload; the pallas tuple sorter
         # orders ties by payload (full-lex) — any tie order is acceptable
-        if sort_impl == "pallas":
+        if resolve_sort_impl(sort_impl, interpret) == "pallas":
             from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
 
             return bitonic_sort.sort_i32_tuple(

@@ -676,9 +676,11 @@ def _count_i64_planes_full(
 
     ``sort_impl='pallas'`` swaps the plane sorts for the Pallas tuple
     sorter (full-lex (hi, lo) order == 2-key plane order)."""
+    from partitionedhashjoin_tpu.ops import merge_join as _mj
+
     n_a = ah.shape[0]
     n_b = bh.shape[0]
-    if sort_impl == "pallas":
+    if _mj.resolve_sort_impl(sort_impl, interpret) == "pallas":
         from partitionedhashjoin_tpu.ops.pallas import bitonic_sort
 
         ah, al = bitonic_sort.sort_i32_tuple(ah, al, interpret=interpret)

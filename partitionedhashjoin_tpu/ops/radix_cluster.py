@@ -306,7 +306,7 @@ class RadixHashJoiner:
         # keep the XLA sort here (round-3 review: a leaked engine-wide
         # 'pallas' switch must fall back, not crash, on CPU)
         impl = (
-            merge_join.get_sort_impl()
+            merge_join.resolve_sort_impl(merge_join.get_sort_impl())
             if (
                 merge_join.supported()
                 and not use_i64
