@@ -74,13 +74,19 @@ def _flat_iota(rows: int = ROWS):
 
 
 def _partner(x, d: int):
-    """x[i XOR d] over the whole (ROWS, LANES) block, static distance d."""
+    """x[i XOR d] over the whole (ROWS, LANES) block, static distance d.
+
+    Sublane distances swap the two halves of (g, 2, dr, LANES) groups via
+    CONCATENATION of static slices — ``jnp.flip``'s ``rev`` primitive has
+    no Pallas TPU lowering (round-3 catch: cross-platform ``jax.export``
+    to the tpu target surfaced it; interpret mode hid it)."""
     if d < LANES:
         idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) ^ d
         return jnp.take_along_axis(x, idx, axis=1)
     dr = d // LANES
     g = x.shape[0] // (2 * dr)
-    return jnp.flip(x.reshape(g, 2, dr, LANES), axis=1).reshape(x.shape)
+    h = x.reshape(g, 2, dr, LANES)
+    return jnp.concatenate([h[:, 1:2], h[:, 0:1]], axis=1).reshape(x.shape)
 
 
 def _lt_tuple(ps, xs):
@@ -284,12 +290,33 @@ def _make_merge_kernel(k: int):
         for awin, bwin in zip(awins, bwins):
             a = _rotate_left(awin[slot], arot_ref[w])
             b = _rotate_left(bwin[slot], brot_ref[w])
-            merged.append(jnp.where(sel, a, jnp.flip(b, axis=(0, 1))))
+            merged.append(jnp.where(sel, a, _reverse_block(b)))
         out = _bitonic_merge_block(merged)
         for o_ref, o in zip(o_refs, out):
             o_ref[...] = o
 
     return kernel
+
+
+def _reverse_block(x):
+    """Full flat reversal of a (rows, LANES) block: out[i] = x[m-1-i].
+
+    ``m-1-i = i XOR (m-1)`` for power-of-two m, which decomposes into one
+    in-row lane reversal (a take_along_axis gather) plus log2(rows) static
+    half-swaps — ``jnp.flip`` has no Pallas TPU lowering (see _partner).
+    """
+    rows = x.shape[0]
+    l = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    out = jnp.take_along_axis(x, (LANES - 1) - l, axis=1)
+    d = 1
+    while d < rows:
+        g = rows // (2 * d)
+        h = out.reshape(g, 2, d, LANES)
+        out = jnp.concatenate([h[:, 1:2], h[:, 0:1]], axis=1).reshape(
+            rows, LANES
+        )
+        d *= 2
+    return out
 
 
 def _rotate_left(win, r):

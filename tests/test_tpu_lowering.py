@@ -1,0 +1,103 @@
+"""Cross-platform lowering of every Pallas kernel to the TPU target.
+
+``jax.export(..., platforms=["tpu"])`` runs the Pallas→Mosaic lowering on a
+CPU host, which is where unimplemented-primitive failures surface (round-3
+catch: ``jnp.flip``'s ``rev`` primitive has no Pallas TPU lowering — the
+interpret-mode tests all passed while the kernel could never have compiled
+on the chip).  Mosaic's MLIR→machine-code backend still runs on the real
+device, but every shape/layout/primitive legality check happens here.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax import export
+
+S = jax.ShapeDtypeStruct
+
+
+def _lowers(fn, *args):
+    exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+    assert len(exp.mlir_module_serialized) > 0
+
+
+class TestSorterLowering:
+    def test_key_sort(self):
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort as bs
+
+        n = 3 * bs.BLK + 100
+        _lowers(lambda x: bs.sort_i32_tuple(x)[0], S((n,), jnp.int32))
+
+    def test_tuple_sort_k2(self):
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort as bs
+
+        n = 2 * bs.BLK
+        _lowers(
+            lambda x, v: tuple(bs.sort_i32_tuple(x, v)),
+            S((n,), jnp.int32), S((n,), jnp.int32),
+        )
+
+    @pytest.mark.parametrize("rows", [256, 1024])
+    def test_block_rows(self, rows):
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort as bs
+
+        n = 2 * rows * bs.LANES
+        _lowers(
+            lambda x: bs.sort_i32_tuple(x, block_rows=rows)[0],
+            S((n,), jnp.int32),
+        )
+
+
+class TestProbeLowering:
+    def test_count_prepared(self):
+        from partitionedhashjoin_tpu.ops.pallas import merge_probe as mp
+
+        _lowers(
+            lambda a, b: mp.ranged_merge_count_prepared(a, b),
+            S((100_000,), jnp.int32), S((400_000,), jnp.int32),
+        )
+
+    def test_payload_prepared(self):
+        from partitionedhashjoin_tpu.ops.pallas import merge_probe as mp
+
+        _lowers(
+            lambda a, p, b: mp.ranged_merge_payload_prepared(a, p, b),
+            S((100_000,), jnp.int32), S((100_000,), jnp.int32),
+            S((400_000,), jnp.int32),
+        )
+
+    def test_i64_planes_both_sort_impls(self):
+        from partitionedhashjoin_tpu.ops.pallas import merge_probe as mp
+
+        args = (S((100_000,), jnp.int32),) * 2 + (
+            S((400_000,), jnp.int32),) * 2
+        _lowers(lambda *a: mp._count_i64_planes_full(*a), *args)
+        _lowers(
+            lambda *a: mp._count_i64_planes_full(*a, sort_impl="pallas"),
+            *args,
+        )
+
+
+class TestCompactLowering:
+    def test_compact_columns(self):
+        from partitionedhashjoin_tpu.ops.pallas.compact import (
+            BLK,
+            compact_columns,
+        )
+
+        n = 4 * BLK
+        _lowers(
+            lambda m, c: compact_columns(m, c, capacity=n),
+            S((n,), jnp.bool_), S((n,), jnp.int32),
+        )
+
+
+class TestMergeCountLowering:
+    def test_merge_count_sorted(self):
+        from partitionedhashjoin_tpu.ops.pallas import merge_count as mc
+
+        n = 1 << 20
+        _lowers(
+            lambda k, b: mc.merge_count_sorted(k, b),
+            S((n,), jnp.int32), S((n,), jnp.bool_),
+        )
