@@ -101,3 +101,48 @@ class TestMergeCountLowering:
             lambda k, b: mc.merge_count_sorted(k, b),
             S((n,), jnp.int32), S((n,), jnp.bool_),
         )
+
+
+class TestComposedProgramLowering:
+    """Whole engine programs (multiple pallas_calls + XLA glue) under the
+    pallas sorter — the exact jits the flagship dispatches on chip."""
+
+    def test_flagship_prepare_and_probe(self):
+        from partitionedhashjoin_tpu.ops import merge_join as mj
+
+        n_a, n_b = 200_000, 900_000
+        _lowers(
+            lambda k: mj._prepare_build_i32(k, sort_impl="pallas"),
+            S((n_a,), jnp.int32),
+        )
+        _lowers(
+            lambda a, m, b: mj._probe_prepared_i32(
+                a, m, b, sort_impl="pallas"
+            ),
+            S((n_a,), jnp.int32), S((), jnp.bool_), S((n_b,), jnp.int32),
+        )
+
+    def test_materialize_program(self):
+        from partitionedhashjoin_tpu.ops import merge_join as mj
+
+        n_a, n_b = 150_000, 600_000
+        _lowers(
+            lambda ak, ap, bk, bp: mj._materialize_i32(
+                ak, ap, bk, bp, sort_impl="pallas"
+            ),
+            S((n_a,), jnp.int32), S((n_a,), jnp.int32),
+            S((n_b,), jnp.int32), S((n_b,), jnp.int32),
+        )
+
+    def test_group_by_program(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            _sort_group_and_aggregate,
+        )
+
+        n = 500_000
+        _lowers(
+            lambda k, p: _sort_group_and_aggregate(
+                k, p, 4096, kernel_compaction=True, sort_impl="pallas"
+            ),
+            S((n,), jnp.int32), S((n,), jnp.int32),
+        )
