@@ -146,3 +146,23 @@ class TestComposedProgramLowering:
             ),
             S((n,), jnp.int32), S((n,), jnp.int32),
         )
+
+
+class TestGenerateLowering:
+    def test_hash_keys(self):
+        from partitionedhashjoin_tpu.ops.pallas.generate import hash_keys
+
+        _lowers(
+            lambda k, s: hash_keys(k, s),
+            S((1 << 18,), jnp.int32), S((), jnp.uint32),
+        )
+
+    def test_zipf_pallas(self):
+        from partitionedhashjoin_tpu.ops.pallas.generate import (
+            zipf_keys_pallas,
+        )
+
+        _lowers(
+            lambda s: zipf_keys_pallas(s, 1 << 18, 1.05, 10_000),
+            S((), jnp.uint32),
+        )
