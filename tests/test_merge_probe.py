@@ -254,3 +254,27 @@ def test_int64_planes_pallas_sorter_agrees():
         finally:
             merge_join.set_sort_impl("xla")
         assert got == int(np.isin(b, a).sum())
+
+
+def test_sort_impl_switch_plumbing(monkeypatch):
+    """The engine-wide sorter switch: env knob, auto resolution, rejection
+    of unknown impls — the bench scripts depend on this exact contract."""
+    from partitionedhashjoin_tpu.ops import merge_join as mj
+
+    assert mj.get_sort_impl() == "xla"
+    monkeypatch.setenv("PHJ_SORT_IMPL", "pallas")
+    try:
+        assert mj.set_sort_impl_from_env() == "pallas"
+        assert mj.get_sort_impl() == "pallas"
+    finally:
+        mj.set_sort_impl("xla")
+    monkeypatch.setenv("PHJ_SORT_IMPL", "xla")
+    assert mj.set_sort_impl_from_env() == "xla"
+    # auto: never the interpreter; pallas only on a Mosaic backend
+    assert mj.resolve_sort_impl("auto", interpret=True) == "xla"
+    assert mj.resolve_sort_impl("auto", interpret=False) == (
+        "pallas" if mj.supported() else "xla"
+    )
+    assert mj.resolve_sort_impl("pallas", interpret=True) == "pallas"
+    with pytest.raises(ValueError):
+        mj.set_sort_impl("typo")
