@@ -53,11 +53,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os as _os
+
 LANES = 128
 SUBL = 16  # sublanes per tile; lane l holds SUBL contiguous keys
 CAP = SUBL * LANES  # 2048 build keys per tile/DMA chunk
-#: probe rows per grid step: 512*128 = 64K probe keys per block
-BLOCK_ROWS = 512
+#: probe rows per grid step (default 512*128 = 64K probe keys per block).
+#: Total per-element search work scales as 2*n_b + BLOCK*n_tiles (each of
+#: the ~2/block + range-spanning work items rescans the WHOLE block), so a
+#: smaller block trades per-item fixed cost for fewer wasted rescans —
+#: env-tunable for the on-chip sweep (import-time constant; all work-list
+#: math below is parametric in it).
+BLOCK_ROWS = int(_os.environ.get("PHJ_PROBE_BLOCK_ROWS", "512"))
 BLOCK = BLOCK_ROWS * LANES
 _I32_MAX = jnp.iinfo(jnp.int32).max
 
