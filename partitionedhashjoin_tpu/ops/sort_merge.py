@@ -312,11 +312,16 @@ def _materialize_typed(
     - ``anti``: probe rows with NO match, compacted front (pay_a zeros)
     - ``left``: every probe row in place; ``matched`` marks rows whose
       pay_a is a real build payload (NULL indicator, zeros otherwise)
+    - ``full``: the ``left`` block (all probe rows, in place) followed by
+      the compacted UNMATCHED build rows (keys + pay_a from the build side,
+      pay_b zero, matched False — their NULL side is the probe side); rows
+      before ``n_probe`` are probe-side, after are build-only.  Output is
+      ``n_probe + n_build`` rows static, ``count`` live.
 
     Returns (keys, pay_a, pay_b, matched, count); rows beyond ``count``
     are zero padding (static shapes — XLA compaction idiom).
     """
-    if join_type not in ("inner", "semi", "anti", "left"):
+    if join_type not in ("inner", "semi", "anti", "left", "full"):
         raise ValueError(f"unknown join_type {join_type!r}")
     n_b = probe_keys.shape[0]
     hit, _, pay_matched = _match_probe_rows(
@@ -329,6 +334,27 @@ def _materialize_typed(
             jnp.asarray(probe_payloads),
             hit,
             jnp.asarray(n_b, jnp.int32),
+        )
+    if join_type == "full":
+        from partitionedhashjoin_tpu.ops.filter import compact_sort
+
+        n_a = build_keys.shape[0]
+        # reversed match: which BUILD rows found no probe partner (duplicate
+        # unmatched build keys all appear — full-outer multiplicity)
+        hit_b, _ = _match_probe_rows(probe_keys, build_keys)
+        count_b, k_b, p_b = compact_sort(
+            ~hit_b, jnp.asarray(build_keys), jnp.asarray(build_payloads)
+        )
+        live_b = jnp.arange(n_a, dtype=jnp.int32) < count_b
+        zero_b = jnp.zeros((n_a,), jnp.asarray(probe_payloads).dtype)
+        return (
+            jnp.concatenate(
+                [jnp.asarray(probe_keys), jnp.where(live_b, k_b, 0)]
+            ),
+            jnp.concatenate([pay_matched, jnp.where(live_b, p_b, 0)]),
+            jnp.concatenate([jnp.asarray(probe_payloads), zero_b]),
+            jnp.concatenate([hit, jnp.zeros((n_a,), jnp.bool_)]),
+            jnp.asarray(n_b, jnp.int32) + count_b,
         )
     keep = ~hit if join_type == "anti" else hit
     # stable compaction via one 2-key value-carrying sort (~8 ns/el for 4

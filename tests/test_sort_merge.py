@@ -207,6 +207,20 @@ def test_materialize_join_types():
     assert list(np.asarray(pa)) == [200, 0, 100, 200, 0]
     assert list(np.asarray(matched)) == [True, False, True, True, False]
 
+    keys, pa, pb, matched, count = sort_merge_materialize_typed(
+        build, bpay, probe, ppay, "full"
+    )
+    # left block (5 probe rows in place) + 1 unmatched build row (key 30)
+    assert int(count) == 6
+    assert list(np.asarray(keys)[:6]) == [20, 5, 10, 20, 99, 30]
+    assert list(np.asarray(pa)[:6]) == [200, 0, 100, 200, 0, 300]
+    assert list(np.asarray(pb)[:6]) == [1, 2, 3, 4, 5, 0]
+    assert list(np.asarray(matched)[:6]) == [
+        True, False, True, True, False, False,
+    ]
+    assert keys.shape[0] == 5 + 3  # n_probe + n_build static
+    assert not np.asarray(keys)[6:].any()  # zero tail past count
+
     # anti_count complements the Get count, with validity masks
     pvalid = jnp.asarray([True, True, False, True, True])
     assert int(anti_count(build, probe)) == 2
@@ -283,3 +297,43 @@ def test_joiner_run_materialize_left_exposes_matched():
     # inner joins carry it too (all True within count)
     inner = SortMergeJoiner().run_materialize(a, b)
     assert np.asarray(inner.matched)[: int(inner.count)].all()
+
+
+def test_full_outer_fuzz_oracle():
+    """Full outer join vs a host-side oracle: the probe block preserves
+    left-join semantics, the appended block is exactly the multiset of
+    unmatched build rows (duplicates preserved)."""
+    import numpy as np
+    from collections import Counter
+    from partitionedhashjoin_tpu.ops.sort_merge import (
+        sort_merge_materialize_typed,
+    )
+
+    rng = np.random.default_rng(77)
+    for _ in range(4):
+        n_a = int(rng.integers(1, 60))
+        n_b = int(rng.integers(1, 90))
+        build = rng.integers(0, 25, n_a).astype(np.int32)
+        bpay = rng.integers(1, 10**6, n_a).astype(np.int32)
+        probe = rng.integers(0, 30, n_b).astype(np.int32)
+        ppay = rng.integers(1, 10**6, n_b).astype(np.int32)
+        keys, pa, pb, matched, count = sort_merge_materialize_typed(
+            build, bpay, probe, ppay, "full"
+        )
+        keys, pa, pb, matched = map(np.asarray, (keys, pa, pb, matched))
+        bset = set(build.tolist())
+        pset = set(probe.tolist())
+        # probe block: in place, matched == membership
+        assert list(keys[:n_b]) == probe.tolist()
+        assert list(matched[:n_b]) == [k in bset for k in probe.tolist()]
+        # appended block: unmatched build rows as a multiset of (key, pay)
+        extra = int(count) - n_b
+        want = Counter(
+            (k, p) for k, p in zip(build.tolist(), bpay.tolist())
+            if k not in pset
+        )
+        got = Counter(zip(keys[n_b : n_b + extra].tolist(),
+                          pa[n_b : n_b + extra].tolist()))
+        assert got == want
+        assert not pb[n_b:].any() and not matched[n_b:].any()
+        assert not keys[int(count):].any() and not pa[int(count):].any()
