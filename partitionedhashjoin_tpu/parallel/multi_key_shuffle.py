@@ -156,6 +156,16 @@ class MultiKeyShuffleJoiner:
         per_dest = rows_per_shard / self._num_shards
         return max(16, min(int(per_dest * slack + 1), rows_per_shard))
 
+    def run_i64(self, build_keys: jax.Array, probe_keys: jax.Array) -> int:
+        """int64 single-key distributed count via the two-plane recipe
+        (requires jax x64 to split): exact — lexicographic plane equality
+        IS int64 equality (ops/pallas/merge_probe.py::split_i64)."""
+        from partitionedhashjoin_tpu.ops.pallas.merge_probe import split_i64
+
+        ah, al = split_i64(build_keys)
+        bh, bl = split_i64(probe_keys)
+        return self.run([ah, al], [bh, bl])
+
     def run(
         self,
         build_cols: Sequence[jax.Array],

@@ -90,3 +90,20 @@ def test_boundary_values_travel_exactly():
          np.array([M, M, m, 1, 5] * 3, np.int32)]
     got = MultiKeyShuffleJoiner(mesh, seed=2).run(a, b)
     assert got == _oracle(a, b)
+
+
+def test_run_i64_plane_recipe():
+    import jax
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(31)
+    a64 = rng.integers(-(2**40), 2**40, 1000).astype(np.int64)
+    b64 = np.concatenate(
+        [a64[:300], rng.integers(-(2**40), 2**40, 700).astype(np.int64)]
+    )
+    with jax.enable_x64(True):
+        got = MultiKeyShuffleJoiner(mesh, seed=4).run_i64(
+            jax.numpy.asarray(a64), jax.numpy.asarray(b64)
+        )
+    want = sum(1 for x in b64.tolist() if x in set(a64.tolist()))
+    assert got == want
