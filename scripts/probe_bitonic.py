@@ -31,6 +31,9 @@ N = int(os.environ.get("PHJ_PROBE_N", 200_000_000))
 STAGES = os.environ.get(
     "PHJ_PROBE_STAGES", "blocks,merge,full,blockrows,tuple,xla_runs"
 ).split(",")
+# CPU smoke of the script logic itself (kernels in interpreter mode):
+# PHJ_PROBE_INTERPRET=1 PHJ_PROBE_N=small — timings are meaningless there
+INTERPRET = os.environ.get("PHJ_PROBE_INTERPRET", "") == "1"
 
 
 def log(msg):
@@ -55,7 +58,11 @@ def timed(label, fn, *args, repeats=3, **kw):
 
 def main():
     log(f"device: {jax.devices()[0]}; N={N}")
-    padded = (N + bs.BLK - 1) // bs.BLK * bs.BLK
+    # pad to an EVEN block count: the pair-validation reshapes and the
+    # run=n/2 late pass both need padded/2 to be BLK-aligned (at the old
+    # BLK-only padding, N=200M gave 24415 blocks — odd — and the stage
+    # crashed; caught by the PHJ_PROBE_INTERPRET CPU smoke)
+    padded = (N + 2 * bs.BLK - 1) // (2 * bs.BLK) * (2 * bs.BLK)
     key = jax.random.PRNGKey(0)
 
     @jax.jit
@@ -82,8 +89,11 @@ def main():
             jnp.sum(y.astype(jnp.uint32))
         return ok, s
 
+    t_blocks = t_merge = None
     if "blocks" in STAGES:
-        y, t = timed("phase A sort_blocks_i32", bs.sort_blocks_i32, x)
+        y, t_blocks = timed("phase A sort_blocks_i32", bs.sort_blocks_i32, x,
+                            interpret=INTERPRET)
+        t = t_blocks
         # validate: every block ascending + multiset preserved (checksum)
         ok = bool(jnp.all(
             y.reshape(-1, bs.BLK)[:, 1:] >= y.reshape(-1, bs.BLK)[:, :-1]
@@ -93,10 +103,11 @@ def main():
         log(f"  blocks ascending: {ok}, checksum match: {same}")
 
         if "merge" in STAGES:
-            z, t = timed(
+            z, t_merge = timed(
                 "phase B merge_pass (run=BLK)", bs.merge_pass_i32, y,
-                jnp.int32(bs.BLK),
+                jnp.int32(bs.BLK), interpret=INTERPRET,
             )
+            t = t_merge
             ok = bool(jnp.all(
                 z.reshape(-1, 2 * bs.BLK)[:, 1:]
                 >= z.reshape(-1, 2 * bs.BLK)[:, :-1]
@@ -107,17 +118,32 @@ def main():
             # a LATE pass: merge runs of padded/2 (one giant pair) to see
             # whether diagonal-search depth/gather cost grows
             big = jnp.int32(padded // 2)
-            w, t = timed(
+            w, t_late = timed(
                 "phase B merge_pass (run=n/2, presorted-halves input)",
                 bs.merge_pass_i32,
-                xla_runs_sort(x, 2), big,
+                xla_runs_sort(x, 2), big, interpret=INTERPRET,
             )
             okb, s = checksum(w)
             log(f"  full-merge ascending: {bool(okb)}, checksum "
                 f"{int(s) == int(jnp.sum(x.astype(jnp.uint32)))}")
+            t_merge = max(t_merge, t_late)
+
+    # the full sort is ONE fused program (phase A + ~log2(blocks) merge
+    # passes); XLA programs beyond ~20-30 s crash the TPU worker
+    # (CLAUDE.md), so skip it when the measured per-pass costs say the
+    # fused program would trip the watchdog — the phase numbers above
+    # already tell the design story in that case
+    if "full" in STAGES and t_blocks is not None and t_merge is not None:
+        n_passes = max(padded // (bs.ROWS * 128) - 1, 0).bit_length()
+        est = t_blocks + n_passes * t_merge
+        if est > 15.0:
+            log(f"FULL sort_i32 SKIPPED: estimated {est:.1f}s fused program "
+                f"({n_passes} passes x {t_merge*1e3:.0f} ms) would trip the "
+                "~20-30s TPU worker watchdog")
+            STAGES.remove("full")
 
     if "full" in STAGES:
-        y, t = timed("FULL sort_i32", lambda v: bs.sort_i32(v), x)
+        y, t = timed("FULL sort_i32", lambda v: bs.sort_i32(v, interpret=INTERPRET), x)
         okb, s = checksum(y)
         same = int(s) == int(jnp.sum(x.astype(jnp.uint32)))
         log(f"  fully ascending: {bool(okb)}, checksum match: {same}")
@@ -131,7 +157,7 @@ def main():
                 y, t = timed(
                     f"FULL sort_i32 block_rows={rows}",
                     lambda v, r=rows: bs.sort_i32_tuple(
-                        v, block_rows=r)[0], x,
+                        v, block_rows=r, interpret=INTERPRET)[0], x,
                 )
                 okb, s = checksum(y)
                 log(f"  ascending: {bool(okb)}, checksum "
@@ -155,7 +181,7 @@ def main():
                       x, v)
         y, t = timed(
             "pallas tuple sort k=2",
-            lambda a, b: bs.sort_i32_tuple(a, b)[0], x, v,
+            lambda a, b: bs.sort_i32_tuple(a, b, interpret=INTERPRET)[0], x, v,
         )
         okb, s = checksum(y)
         log(f"  keys ascending: {bool(okb)}, checksum "
