@@ -37,6 +37,8 @@ N_A = int(os.environ.get("PHJ_BENCH_PRIMARY", 10_000_000))
 N_B = int(os.environ.get("PHJ_BENCH_SECONDARY", 200_000_000))
 SKEW = float(os.environ.get("PHJ_BENCH_SKEW", 1.05))
 SALT = 0x5A17
+# CPU smoke of the script logic (kernels interpreted; timings meaningless)
+INTERPRET = os.environ.get("PHJ_BENCH_INTERPRET", "") == "1"
 
 
 def log(m):
@@ -67,12 +69,15 @@ def main():
     log(f"generate: {time.perf_counter() - t0:.1f}s")
 
     # warmup/compile
-    out = two_run_materialize(a_keys, a_pay, b_keys, b_pay)
+    out = two_run_materialize(a_keys, a_pay, b_keys, b_pay,
+                              interpret=INTERPRET)
     sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        keys, pa, pb, count = two_run_materialize(a_keys, a_pay, b_keys, b_pay)
+        keys, pa, pb, count = two_run_materialize(
+            a_keys, a_pay, b_keys, b_pay, interpret=INTERPRET
+        )
         sync((keys, pa, pb))
         best = min(best, time.perf_counter() - t0)
     log(f"materialize: {best*1e3:.0f} ms ({N_B/best/1e6:.0f}M rows/s)")

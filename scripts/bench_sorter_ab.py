@@ -30,6 +30,8 @@ N_A = int(os.environ.get("PHJ_AB_PRIMARY", 10_000_000))
 N_B = int(os.environ.get("PHJ_AB_SECONDARY", 200_000_000))
 SKEW = float(os.environ.get("PHJ_AB_SKEW", 1.05))
 IMPLS = os.environ.get("PHJ_AB_IMPLS", "xla,pallas").split(",")
+# CPU smoke of the script logic (kernels interpreted; timings meaningless)
+INTERPRET = os.environ.get("PHJ_AB_INTERPRET", "") == "1"
 
 
 def log(msg):
@@ -48,13 +50,13 @@ def main():
     for impl in IMPLS:
         merge_join.set_sort_impl(impl)
         t0 = time.perf_counter()
-        c = merge_join.two_run_count(a, b)
+        c = merge_join.two_run_count(a, b, interpret=INTERPRET)
         sync(c)
         compile_s = time.perf_counter() - t0
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            c = merge_join.two_run_count(a, b)
+            c = merge_join.two_run_count(a, b, interpret=INTERPRET)
             sync(c)
             best = min(best, time.perf_counter() - t0)
         results[impl] = (best, int(jax.device_get(c)))
