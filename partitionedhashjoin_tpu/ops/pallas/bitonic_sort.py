@@ -434,9 +434,41 @@ def merge_pass_i32(
 #: network.  Tuned on chip via scripts/probe_bitonic.py.
 DEFAULT_BLOCK_ROWS = ROWS
 
+#: Phase-A implementation: "network" = the in-register bitonic kernel above;
+#: "xla" = one batched minor-axis ``lax.sort`` of the blocks (reshape to
+#: (num_blocks, blk), sort dimension=1 — identical output contract: every
+#: flat blk-range ascending).  The XLA form has no unrolled-network compile
+#: ceiling, so it unlocks much larger phase-A blocks (fewer HBM merge
+#: passes); whether its batched-run cost beats the network at equal block
+#: size is measured head-to-head by scripts/probe_bitonic.py.
+import os as _os
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
-def _sort_padded(xps, interpret: bool = False, block_rows: int = ROWS):
+DEFAULT_PHASE_A = _os.environ.get("PHJ_SORT_PHASE_A", "network")
+
+
+def _xla_sort_blocks(xps, rows: int):
+    """Phase A via one batched unstable lexicographic XLA sort along the
+    minor axis: same contract as _sort_blocks (each flat rows*LANES block
+    ascending), no Pallas involvement."""
+    n = xps[0].shape[0]
+    blk = rows * LANES
+    nb = n // blk
+    out = jax.lax.sort(
+        tuple(x.reshape(nb, blk) for x in xps),
+        num_keys=len(xps),
+        is_stable=False,
+        dimension=1,
+    )
+    return [o.reshape(n) for o in out]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows", "phase_a")
+)
+def _sort_padded(
+    xps, interpret: bool = False, block_rows: int = ROWS,
+    phase_a: str = "network",
+):
     """Block sort + all merge passes in ONE program (a dispatch through the
     relay costs ~25 ms; 15 passes must not pay it 15 times).  The arrays
     stay in padded rows form across passes — each pass touches HBM exactly
@@ -444,7 +476,10 @@ def _sort_padded(xps, interpret: bool = False, block_rows: int = ROWS):
     n = xps[0].shape[0]
     blk = block_rows * LANES
     num_blocks = n // blk
-    xps = _sort_blocks(list(xps), interpret, rows=block_rows)
+    if phase_a == "xla":
+        xps = _xla_sort_blocks(list(xps), rows=block_rows)
+    else:
+        xps = _sort_blocks(list(xps), interpret, rows=block_rows)
     passes = max(num_blocks - 1, 0).bit_length()  # ceil(log2(num_blocks))
 
     def body(p, xs_rows):
@@ -470,6 +505,7 @@ def sort_i32_tuple(
     *operands: jax.Array,
     interpret: bool = False,
     block_rows: "int | None" = None,
+    phase_a: "str | None" = None,
 ):
     """Unstable ascending sort of int32 row TUPLES in full lexicographic
     order: sorted by operand 0, ties by operand 1, and so on.  Returns the
@@ -490,6 +526,9 @@ def sort_i32_tuple(
     if n == 0:
         return [jnp.asarray(o, jnp.int32) for o in operands]
     rows = DEFAULT_BLOCK_ROWS if block_rows is None else block_rows
+    phase_a = DEFAULT_PHASE_A if phase_a is None else phase_a
+    if phase_a not in ("network", "xla"):
+        raise ValueError(f"unknown phase_a {phase_a!r}")
     # small inputs: shrink the phase-A block down to one BLK so padding
     # never exceeds one super block's worth of work
     while rows > ROWS and (rows // 2) * LANES >= n:
@@ -502,5 +541,7 @@ def sort_i32_tuple(
         xps.append(
             jax.lax.dynamic_update_slice(xp, jnp.asarray(o, jnp.int32), (0,))
         )
-    out = _sort_padded(tuple(xps), interpret=interpret, block_rows=rows)
+    out = _sort_padded(
+        tuple(xps), interpret=interpret, block_rows=rows, phase_a=phase_a
+    )
     return [o[:n] for o in out]

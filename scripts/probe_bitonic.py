@@ -29,7 +29,8 @@ from partitionedhashjoin_tpu.utils.device import sync
 
 N = int(os.environ.get("PHJ_PROBE_N", 200_000_000))
 STAGES = os.environ.get(
-    "PHJ_PROBE_STAGES", "blocks,merge,full,blockrows,tuple,xla_runs"
+    "PHJ_PROBE_STAGES",
+    "blocks,merge,full,blockrows,xla_phase_a,tuple,xla_runs",
 ).split(",")
 # CPU smoke of the script logic itself (kernels in interpreter mode):
 # PHJ_PROBE_INTERPRET=1 PHJ_PROBE_N=small — timings are meaningless there
@@ -166,6 +167,26 @@ def main():
             except Exception as e:  # Mosaic limits surface per-size
                 log(f"  block_rows={rows} FAILED: {type(e).__name__}: "
                     f"{str(e)[:300]}")
+
+    if "xla_phase_a" in STAGES:
+        # hybrid: phase A = one batched minor-axis XLA sort (no network
+        # compile ceiling -> big blocks -> fewer merge passes), phase B =
+        # the Pallas merge passes
+        for rows in (512, 2048, 8192):
+            try:
+                y, t = timed(
+                    f"FULL sort phase_a=xla block_rows={rows}",
+                    lambda v, r=rows: bs.sort_i32_tuple(
+                        v, block_rows=r, phase_a="xla",
+                        interpret=INTERPRET)[0], x,
+                )
+                okb, s = checksum(y)
+                log(f"  ascending: {bool(okb)}, checksum "
+                    f"{int(s) == int(jnp.sum(x.astype(jnp.uint32)))},"
+                    f"  vs XLA {t_xla / t:.2f}x")
+            except Exception as e:
+                log(f"  phase_a=xla block_rows={rows} FAILED: "
+                    f"{type(e).__name__}: {str(e)[:300]}")
 
     if "tuple" in STAGES:
         v = jax.random.randint(

@@ -247,3 +247,39 @@ class TestBlockRows:
         order = np.lexsort((vals, keys))
         np.testing.assert_array_equal(got[0], keys[order])
         np.testing.assert_array_equal(got[1], vals[order])
+
+
+class TestXlaPhaseA:
+    """phase_a='xla': batched minor-axis XLA block sort + Pallas merges."""
+
+    @pytest.mark.parametrize("n", [1000, 3 * bs.BLK + 17, 5 * bs.BLK])
+    def test_matches_numpy_and_network(self, n):
+        x = _rng(40).integers(-(2**31), 2**31, size=n, dtype=np.int32)
+        xla = np.asarray(
+            bs.sort_i32_tuple(jnp.asarray(x), interpret=True,
+                              phase_a="xla")[0]
+        )
+        np.testing.assert_array_equal(xla, np.sort(x))
+        net = np.asarray(
+            bs.sort_i32_tuple(jnp.asarray(x), interpret=True,
+                              phase_a="network")[0]
+        )
+        np.testing.assert_array_equal(xla, net)
+
+    def test_key_value_association_with_big_blocks(self):
+        n = 4 * bs.BLK
+        k = _rng(41).integers(-50, 50, size=n, dtype=np.int32)
+        v = np.arange(n, dtype=np.int32)
+        ks, vs = bs.sort_i32_tuple(
+            jnp.asarray(k), jnp.asarray(v), interpret=True,
+            phase_a="xla", block_rows=256,
+        )
+        ks, vs = np.asarray(ks), np.asarray(vs)
+        np.testing.assert_array_equal(ks, np.sort(k))
+        # exact full-lex order: ties broken by value ascending
+        order = np.lexsort((v, k))
+        np.testing.assert_array_equal(vs, v[order])
+
+    def test_unknown_phase_a_rejected(self):
+        with pytest.raises(ValueError):
+            bs.sort_i32_tuple(jnp.zeros(8, jnp.int32), phase_a="nope")

@@ -47,6 +47,18 @@ class TestSorterLowering:
             S((n,), jnp.int32),
         )
 
+    @pytest.mark.parametrize("rows", [512, 8192])
+    def test_xla_phase_a(self, rows):
+        # hybrid: batched minor-axis lax.sort blocks + Pallas merge passes
+        from partitionedhashjoin_tpu.ops.pallas import bitonic_sort as bs
+
+        n = 2 * rows * bs.LANES
+        _lowers(
+            lambda x: bs.sort_i32_tuple(
+                x, block_rows=rows, phase_a="xla")[0],
+            S((n,), jnp.int32),
+        )
+
 
 class TestProbeLowering:
     def test_count_prepared(self):
