@@ -172,7 +172,7 @@ def main():
         # hybrid: phase A = one batched minor-axis XLA sort (no network
         # compile ceiling -> big blocks -> fewer merge passes), phase B =
         # the Pallas merge passes
-        for rows in (512, 2048, 8192):
+        for rows in (512, 2048, 8192, 32768):
             try:
                 y, t = timed(
                     f"FULL sort phase_a=xla block_rows={rows}",
