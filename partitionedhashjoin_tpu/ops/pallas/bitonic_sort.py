@@ -61,6 +61,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 ROWS = 64  # sublanes per block
+WIN_ROWS = ROWS + 8  # merge window scratch rows (data in [0, ROWS+1); the
+#                      extra rows keep the shape a sublane-tile multiple —
+#                      unaligned sublane slices crash Mosaic's layout pass)
 BLK = ROWS * LANES  # 8192 elements per block
 LOG_BLK = 13
 _I32_MAX = jnp.iinfo(jnp.int32).max
@@ -105,7 +108,11 @@ def _compare_exchange(xs, take_min, d: int):
     swap iff the partner's tuple is strictly on the wrong side."""
     ps = [_partner(x, d) for x in xs]
     p_lt_x = _lt_tuple(ps, xs)
-    swap = jnp.where(take_min, p_lt_x, _lt_tuple(xs, ps))
+    x_lt_p = _lt_tuple(xs, ps)
+    # Mosaic has no on-chip select over i1 vectors (lowers via an
+    # unsupported trunci i8->i1; interpret mode hid it) — boolean algebra
+    # instead of jnp.where on bool operands.
+    swap = (take_min & p_lt_x) | (~take_min & x_lt_p)
     return [jnp.where(swap, p, x) for p, x in zip(ps, xs)]
 
 
@@ -121,10 +128,12 @@ def _bitonic_sort_block(xs, rows: int = ROWS):
     log_m = m.bit_length() - 1
     i = _flat_iota(rows)
     for k in range(1, log_m + 1):
-        up = ((i >> k) & 1) == 0  # ascending region at this merge level
         for j in range(k - 1, -1, -1):
             d = 1 << j
-            take_min = up == ((i & d) == 0)
+            # take_min = (ascending region at level k) == (lower element of
+            # the pair) = bit_k(i) == bit_j(i), compared as integer bits —
+            # an i1==i1 vector compare has no Mosaic lowering on chip.
+            take_min = ((i >> k) & 1) == ((i >> j) & 1)
             xs = _compare_exchange(xs, take_min, d)
     return xs
 
@@ -253,12 +262,12 @@ def _make_merge_kernel(k: int):
             ):
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(astart_ref[step], ROWS + 1)],
-                    awin.at[buf_slot],
+                    awin.at[buf_slot, pl.ds(0, ROWS + 1)],
                     sems.at[buf_slot, 2 * c],
                 ).start()
                 pltpu.make_async_copy(
                     x_hbm.at[pl.ds(bstart_ref[step], ROWS + 1)],
-                    bwin.at[buf_slot],
+                    bwin.at[buf_slot, pl.ds(0, ROWS + 1)],
                     sems.at[buf_slot, 2 * c + 1],
                 ).start()
 
@@ -272,11 +281,13 @@ def _make_merge_kernel(k: int):
 
         for c, (x_hbm, awin, bwin) in enumerate(zip(x_hbms, awins, bwins)):
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(astart_ref[w], ROWS + 1)], awin.at[slot],
+                x_hbm.at[pl.ds(astart_ref[w], ROWS + 1)],
+                awin.at[slot, pl.ds(0, ROWS + 1)],
                 sems.at[slot, 2 * c],
             ).wait()
             pltpu.make_async_copy(
-                x_hbm.at[pl.ds(bstart_ref[w], ROWS + 1)], bwin.at[slot],
+                x_hbm.at[pl.ds(bstart_ref[w], ROWS + 1)],
+                bwin.at[slot, pl.ds(0, ROWS + 1)],
                 sems.at[slot, 2 * c + 1],
             ).wait()
 
@@ -321,19 +332,28 @@ def _reverse_block(x):
 
 def _rotate_left(win, r):
     """Drop the first ``r`` (dynamic, 0..127) elements of the flat
-    row-major (ROWS+1, LANES) window: out[i] = win_flat[i + r].
+    row-major (WIN_ROWS, LANES) window: out[i] = win_flat[i + r].
 
     Cross-row dynamic shifts are not a Mosaic primitive; the legal form is
     one in-row gather with a uniform dynamic index vector (rotate lanes by
-    r) plus a select between each row and its successor (static row move).
+    r) plus a sublane roll-by-one (``pltpu.roll``) and a select.  Two
+    on-chip Mosaic crashes shaped this code (ApplyVectorLayout SIGABRT,
+    Array::Slice check ``limits <= dim`` — interpret mode hides both):
+    slicing any i1 (mask) vector, and sublane slices at unaligned offsets
+    (the earlier ``concatenate([rotated[1:], rotated[:1]])`` form) — hence
+    the tile-aligned WIN_ROWS window, the roll, and the wrap mask being
+    REBUILT at output shape rather than sliced.
     """
+    rows = win.shape[0]
     l = jax.lax.broadcasted_iota(jnp.int32, win.shape, 1)
     idx = l + r
-    wrap = idx >= LANES  # element lives in the next row after rotation
-    idx = jnp.where(wrap, idx - LANES, idx)
+    idx = jnp.where(idx >= LANES, idx - LANES, idx)
     rotated = jnp.take_along_axis(win, idx, axis=1)
-    nxt = jnp.concatenate([rotated[1:], rotated[:1]], axis=0)
-    return jnp.where(wrap[:ROWS], nxt[:ROWS], rotated[:ROWS])
+    nxt = pltpu.roll(rotated, rows - 1, 0)  # nxt[i] = rotated[i + 1]
+    l_out = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+    wrap = (l_out + r) >= LANES  # element lives in the next row; never
+    #                              slice an i1 vector (see docstring)
+    return jnp.where(wrap, nxt[:ROWS], rotated[:ROWS])
 
 
 PAD_ROWS = ROWS + 2  # fixed-size (ROWS+1)-row windows may reach past the data
@@ -405,7 +425,7 @@ def _merge_pass_rows(xs_rows, n, run_len, interpret: bool, rounds: int = 31):
                              memory_space=pltpu.VMEM)
             ] * k,
             scratch_shapes=(
-                [pltpu.VMEM((2, ROWS + 1, LANES), jnp.int32)] * (2 * k)
+                [pltpu.VMEM((2, WIN_ROWS, LANES), jnp.int32)] * (2 * k)
                 + [pltpu.SemaphoreType.DMA((2, 2 * k))]
             ),
         ),

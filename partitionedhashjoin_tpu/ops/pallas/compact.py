@@ -61,14 +61,18 @@ def _bitonic_partition(composite, cols):
     key, carrying ``cols`` — compare-exchange keyed on composite only."""
     i = _flat_iota()
     for k in range(1, LOG_BLK + 1):
-        up = ((i >> k) & 1) == 0
         for j in range(k - 1, -1, -1):
             d = 1 << j
-            take_min = up == ((i & d) == 0)
+            # bit_k(i) == bit_j(i) — integer-bit form of
+            # (ascending region) == (lower element); i1==i1 vector compares
+            # and i1-operand selects have no Mosaic lowering on chip.
+            take_min = ((i >> k) & 1) == ((i >> j) & 1)
             p_key = _partner(composite, d)
             # keys are unique: choose the partner iff it is on the side
             # this lane keeps (strict compare is exact, no tie handling)
-            choose = jnp.where(take_min, p_key < composite, p_key > composite)
+            choose = (take_min & (p_key < composite)) | (
+                ~take_min & (p_key > composite)
+            )
             composite = jnp.where(choose, p_key, composite)
             cols = tuple(
                 jnp.where(choose, _partner(c, d), c) for c in cols
