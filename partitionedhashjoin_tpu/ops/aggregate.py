@@ -45,6 +45,17 @@ class GroupByResult:
     max: jax.Array  # payload-dtype[n] MAX(payload)
     num_groups: jax.Array  # int32 scalar
     group_of_row: jax.Array  # int32[n] dense group id per input row
+    # COUNT(DISTINCT payload) per group; present only when the sort path
+    # ran with ``with_distinct=True`` (payload is the 3rd sort key there, so
+    # distinct values are run boundaries — free ordering the hash path lacks)
+    distinct: "jax.Array | None" = None
+
+    def mean(self, dtype=jnp.float32) -> jax.Array:
+        """AVG(payload) per group: sum/count where count > 0, else 0."""
+        c = jnp.maximum(self.count, 1).astype(dtype)
+        return jnp.where(
+            self.count > 0, self.sum.astype(dtype) / c, jnp.zeros((), dtype)
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("size", "has_valid"))
@@ -165,7 +176,7 @@ def filter_aggregate(table: Table, predicate, seed: int = 0) -> GroupByResult:
     jax.jit,
     static_argnames=(
         "group_capacity", "has_valid", "with_group_of_row",
-        "kernel_compaction", "interpret", "sort_impl",
+        "kernel_compaction", "interpret", "sort_impl", "with_distinct",
     ),
 )
 def _sort_group_and_aggregate(
@@ -178,6 +189,7 @@ def _sort_group_and_aggregate(
     kernel_compaction: bool = False,
     interpret: bool = False,
     sort_impl: str = "xla",
+    with_distinct: bool = False,
 ) -> GroupByResult:
     n = keys.shape[0]
     if n == 0:
@@ -187,6 +199,7 @@ def _sort_group_and_aggregate(
             keys=gz, count=gz, sum=pz, min=pz, max=pz,
             num_groups=jnp.asarray(0, jnp.int32),
             group_of_row=jnp.full((n,), -1, jnp.int32),
+            distinct=gz if with_distinct else None,
         )
     if group_capacity == 0:
         # num_groups stays EXACT (the capacity-overflow retry contract —
@@ -209,6 +222,7 @@ def _sort_group_and_aggregate(
             keys=gz, count=gz, sum=pz, min=pz, max=pz,
             num_groups=jnp.sum(is_start.astype(jnp.int32)),
             group_of_row=jnp.full((n,), -1, jnp.int32),
+            distinct=gz if with_distinct else None,
         )
     inv = (
         jnp.where(valid, 0, 1).astype(jnp.int32)
@@ -256,6 +270,18 @@ def _sort_group_and_aggregate(
     cs = jnp.cumsum(pay_s, dtype=payloads.dtype)
     csx = cs - pay_s.astype(payloads.dtype)
     maxprev = jnp.concatenate([pay_s[:1], pay_s[:-1]])
+    if with_distinct:
+        # payload is the 3rd sort key, so each group's payloads ascend and
+        # COUNT(DISTINCT payload) = number of (group, payload) run starts.
+        # Same exclusive-cumsum-at-boundary trick as SUM: one extra int32
+        # column rides pass 2 (kernel capacity: 5 of MAX_COLS=6).
+        pair_start = (
+            valid_s & (is_start | (pay_s != maxprev))
+        ).astype(jnp.int32)
+        cpx_d = jnp.cumsum(pair_start) - pair_start
+        total_pairs = jnp.sum(pair_start)
+    else:
+        cpx_d = None
     if kernel_compaction:
         # Mosaic path (round 3): block-local bitonic stable partition +
         # aligned writes + one ~G-sized XLA cleanup instead of the n-sized
@@ -276,12 +302,17 @@ def _sort_group_and_aggregate(
                 [x, jnp.full((pad,), fill, x.dtype)]
             )
 
-        _, _ok, s_full, gkey, gmin, gcsx, gmaxp = compact_columns(
-            padded(is_start, False),
+        carried = [
             padded(key_s, 0),
             padded(pay_s, 0),
             padded(csx, jnp.zeros((), payloads.dtype)),
             padded(maxprev, 0),
+        ]
+        if with_distinct:
+            carried.append(padded(cpx_d, 0))
+        _, _ok, s_full, gkey, gmin, gcsx, gmaxp, *rest = compact_columns(
+            padded(is_start, False),
+            *carried,
             capacity=group_capacity,
             interpret=interpret,
         )
@@ -290,10 +321,13 @@ def _sort_group_and_aggregate(
         # is already this function's retry contract
     else:
         flag = jnp.where(is_start, 0, 1).astype(jnp.int32)
-        _, s_full, gkey, gmin, gcsx, gmaxp = jax.lax.sort(
-            (flag, iota, key_s, pay_s, csx, maxprev),
-            num_keys=2, is_stable=False,
+        ops2 = [flag, iota, key_s, pay_s, csx, maxprev]
+        if with_distinct:
+            ops2.append(cpx_d)
+        _, s_full, gkey, gmin, gcsx, gmaxp, *rest = jax.lax.sort(
+            tuple(ops2), num_keys=2, is_stable=False,
         )
+    gcpxd = rest[0] if with_distinct else None
 
     cap = group_capacity
     g = jnp.arange(cap, dtype=jnp.int32)
@@ -322,6 +356,11 @@ def _sort_group_and_aggregate(
         jnp.where(has_next, shift(gmaxp, zero1_p), last_valid_pay),
         zero_p,
     )
+    if with_distinct:
+        d_hi = jnp.where(has_next, shift(gcpxd, zero1), total_pairs)
+        distinct = jnp.where(g_ok, d_hi - gcpxd[:cap], 0)
+    else:
+        distinct = None
     res = GroupByResult(
         keys=jnp.where(g_ok, gkey[:cap], 0),
         count=count,
@@ -330,6 +369,7 @@ def _sort_group_and_aggregate(
         max=max_,
         num_groups=num_groups,
         group_of_row=jnp.full((n,), -1, jnp.int32),
+        distinct=distinct,
     )
     if with_group_of_row:
         # dense id of each SORTED row, scattered back to input positions
@@ -404,6 +444,7 @@ def sort_aggregate(
     with_group_of_row: bool = False,
     compaction: str = "auto",
     interpret: bool = False,
+    with_distinct: bool = False,
 ) -> GroupByResult:
     """GROUP BY via one multi-key sort — the at-scale aggregate path.
 
@@ -426,6 +467,150 @@ def sort_aggregate(
         kernel_compaction=_kernel_compaction_choice(table, compaction),
         interpret=interpret,
         sort_impl=_pass1_sort_choice(table, interpret),
+        with_distinct=with_distinct,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_orig", "size", "group_capacity",
+                              "kernel_compaction", "interpret", "sort_impl",
+                              "with_distinct"),
+)
+def _staged_pass2(
+    aligned_total, pos, keys_c, pay_c, n_orig: int, size: int,
+    group_capacity: int,
+    kernel_compaction: bool, interpret: bool, sort_impl: str,
+    with_distinct: bool = False,
+):
+    """Dispatch 2 of the staged filter→GROUP BY: aggregate the bucketed
+    static slice ``[0, size)`` of the kernel-compacted columns.  ``pos``
+    is block_compact's original-row-index column; ``pos < 0`` marks the
+    per-block alignment sentinels.  Content at ``>= aligned_total`` is
+    UNDEFINED per the block_compact contract (never-written output rows),
+    so the validity test must bound by ``aligned_total`` too — a stale
+    ``pos >= 0`` there would inject phantom rows."""
+    pos_s = jax.lax.slice_in_dim(pos, 0, size)
+    valid = (pos_s >= 0) & (
+        jnp.arange(size, dtype=jnp.int32) < aligned_total
+    )
+    g = _sort_group_and_aggregate(
+        jax.lax.slice_in_dim(keys_c, 0, size),
+        jax.lax.slice_in_dim(pay_c, 0, size),
+        group_capacity,
+        valid=valid,
+        has_valid=True,
+        kernel_compaction=kernel_compaction,
+        interpret=interpret,
+        sort_impl=sort_impl,
+        with_distinct=with_distinct,
+    )
+    # group_of_row keeps its documented [n_orig] shape (all -1: the staged
+    # path drops row→group tracking; see filter_sort_aggregate_staged)
+    g = dataclasses.replace(
+        g, group_of_row=jnp.full((n_orig,), -1, jnp.int32)
+    )
+    return g, jnp.sum(valid.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _staged_filter(keys, payloads, mask, interpret: bool = False):
+    """Dispatch 1 of the staged pipeline: pad to a kernel-block multiple
+    and block-compact (keys, payloads) by the predicate mask.  Returns the
+    ALIGNED form (kept rows in order with <128 sentinel rows per source
+    block, pos == -1 there) — the XLA cleanup sort of ``compact_columns``
+    is deliberately skipped: the aggregate's validity column absorbs the
+    sentinels, so exact front-compaction would be a wasted relation-sized
+    pass."""
+    from partitionedhashjoin_tpu.ops.pallas.bitonic_sort import BLK
+    from partitionedhashjoin_tpu.ops.pallas.compact import block_compact
+
+    n = keys.shape[0]
+    pad = (-n) % BLK
+    if pad:
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), jnp.bool_)])
+        keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
+        payloads = jnp.concatenate(
+            [payloads, jnp.zeros((pad,), payloads.dtype)]
+        )
+    return block_compact(mask, keys, payloads, interpret=interpret)
+
+
+def filter_sort_aggregate_staged(
+    table: Table,
+    predicate,
+    group_capacity: "int | None" = None,
+    compaction: str = "auto",
+    interpret: bool = False,
+    slice_granularity: int = 16,
+    with_distinct: bool = False,
+):
+    """Filter → GROUP BY as TWO dispatches so the relation-sized sort only
+    touches the rows that survive the filter.
+
+    The fused path (``filter_sort_aggregate``) folds the predicate into the
+    pass-1 sort as a leading key — elegant, but the sort still runs over
+    the full static shape, so filtered-out rows cost full sort work.  This
+    variant spends one Pallas block-compaction pass (~91 in-register
+    stages + sequential writes, no relation sort) to shrink the data
+    FIRST, reads back the aligned survivor count, and dispatches the
+    aggregate over the smallest bucketed static slice that covers it
+    (buckets of ``n/slice_granularity`` rows, so at most
+    ``slice_granularity`` program shapes ever compile — the dispatch-level
+    dynamic-shape idiom used across the engine).
+
+    Wins whenever the filter drops enough rows: at 200M rows the
+    compaction pass costs ~0.3-0.4 s while pass-1 sort time scales with
+    survivors (~5.6 ns/el), so the crossover is ~25-30 % dropped; at the
+    benchmark's 50 % selectivity it saves ~0.5 s end-to-end
+    (docs/PERFORMANCE.md).  Exactness: identical GroupByResult aggregates
+    (the validity column absorbs block_compact's alignment sentinels).
+
+    int32 columns + a Mosaic backend (or ``interpret``) only — callers with
+    wider columns use the fused path.  ``group_of_row`` is not tracked
+    (returned all -1); use the fused path when row→group ids are needed.
+    Returns ``(GroupByResult, selected_row_count)``.
+    """
+    from partitionedhashjoin_tpu.ops import merge_join
+
+    if table.keys.dtype != jnp.int32 or table.payloads.dtype != jnp.int32:
+        raise TypeError(
+            "staged filter aggregate is int32-only (keys "
+            f"{table.keys.dtype}, payloads {table.payloads.dtype}); "
+            "use filter_sort_aggregate for wider columns"
+        )
+    if jax.config.jax_enable_x64 or not (
+        interpret or merge_join.supported()
+    ):
+        # no Mosaic path here: the fused sort handles the filter exactly
+        return filter_sort_aggregate(
+            table, predicate, group_capacity,
+            compaction=compaction, interpret=interpret,
+            with_distinct=with_distinct,
+        )
+    from partitionedhashjoin_tpu.ops.pallas.bitonic_sort import BLK
+
+    n = table.size
+    mask = predicate(table.keys, table.payloads)
+    aligned_total, pos, keys_c, pay_c = _staged_filter(
+        table.keys, table.payloads, jnp.asarray(mask, jnp.bool_),
+        interpret=interpret,
+    )
+    total = int(jax.device_get(aligned_total))
+    # bucketed static slice: BLK-aligned chunks of ~n/slice_granularity
+    chunk = max(BLK, -(-(n // max(slice_granularity, 1)) // BLK) * BLK)
+    size = min(max(-(-total // chunk) * chunk, BLK), pos.shape[0])
+    cap = n if group_capacity is None else min(group_capacity, n)
+    cap = min(cap, size)
+    return _staged_pass2(
+        aligned_total, pos, keys_c, pay_c, n, size, cap,
+        kernel_compaction=_kernel_compaction_choice(
+            Table(keys=keys_c, payloads=pay_c), compaction
+        ),
+        interpret=interpret,
+        sort_impl=_pass1_sort_choice(
+            Table(keys=keys_c, payloads=pay_c), interpret
+        ),
+        with_distinct=with_distinct,
     )
 
 
@@ -436,6 +621,7 @@ def filter_sort_aggregate(
     with_group_of_row: bool = False,
     compaction: str = "auto",
     interpret: bool = False,
+    with_distinct: bool = False,
 ):
     """Filter → sort-aggregate pipeline (BASELINE.json configs[3] at scale).
 
@@ -455,5 +641,6 @@ def filter_sort_aggregate(
         kernel_compaction=_kernel_compaction_choice(table, compaction),
         interpret=interpret,
         sort_impl=_pass1_sort_choice(table, interpret),
+        with_distinct=with_distinct,
     )
     return g, jnp.sum(mask.astype(jnp.int32))

@@ -272,8 +272,13 @@ class TestSortAggregate:
             sort_aggregate,
         )
 
+        # shape discipline: each distinct (shape, capacity) of the kernel
+        # program costs a ~60 s interpret-mode compile on the CPU host
+        # (round-4 profiling; warm calls are 0.2 s).  Density variants
+        # share ONE shape+capacity, the pad path and the filtered variant
+        # get one compile each — same coverage, 6 compiles -> 3.
         rng = np.random.default_rng(15)
-        for n, hi in ((5000, 37), (9000, 8000), (8192, 3)):
+        for n, hi in ((8192, 37), (8192, 3), (9000, 8000)):
             keys = rng.integers(0, hi, n).astype(np.int32)
             pay = rng.integers(-100, 100, n).astype(np.int32)
             t = make_table(keys, pay)
@@ -287,23 +292,27 @@ class TestSortAggregate:
                     np.asarray(getattr(gk, field))[:num],
                     err_msg=f"{field} n={n} hi={hi}",
                 )
-            # filtered variant with a capacity bound
-            fs, cs = filter_sort_aggregate(
-                t, lambda k, p: p > 0, group_capacity=hi + 10,
-                compaction="sort",
+        # filtered variant with a capacity bound (one shape, one compile)
+        n, hi = 8192, 200
+        keys = rng.integers(0, hi, n).astype(np.int32)
+        pay = rng.integers(-100, 100, n).astype(np.int32)
+        t = make_table(keys, pay)
+        fs, cs = filter_sort_aggregate(
+            t, lambda k, p: p > 0, group_capacity=hi + 10,
+            compaction="sort",
+        )
+        fk, ck = filter_sort_aggregate(
+            t, lambda k, p: p > 0, group_capacity=hi + 10,
+            compaction="kernel", interpret=True,
+        )
+        assert int(cs) == int(ck)
+        num = int(fs.num_groups)
+        assert num == int(fk.num_groups)
+        for field in ("keys", "count", "sum", "min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fs, field))[:num],
+                np.asarray(getattr(fk, field))[:num],
             )
-            fk, ck = filter_sort_aggregate(
-                t, lambda k, p: p > 0, group_capacity=hi + 10,
-                compaction="kernel", interpret=True,
-            )
-            assert int(cs) == int(ck)
-            num = int(fs.num_groups)
-            assert num == int(fk.num_groups)
-            for field in ("keys", "count", "sum", "min", "max"):
-                np.testing.assert_array_equal(
-                    np.asarray(getattr(fs, field))[:num],
-                    np.asarray(getattr(fk, field))[:num],
-                )
 
     def test_group_capacity_truncates_but_num_groups_exact(self):
         from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
@@ -429,39 +438,35 @@ class TestSortAggregatePallasSorter:
         from partitionedhashjoin_tpu.ops import merge_join
         from partitionedhashjoin_tpu.ops.aggregate import (
             filter_sort_aggregate,
-            sort_aggregate,
         )
 
+        # one interpret-mode tuple-sort compile (~170 s on the CPU host):
+        # the FILTERED variant covers the plain path too — same sorter, and
+        # the validity column is the only extra plumbing (round-4 trim; the
+        # sorter itself has its own exhaustive suite in test_bitonic_sort)
         rng = np.random.default_rng(16)
         n = 3000
         keys = rng.integers(-50, 50, n).astype(np.int32)
         pay = rng.integers(-100, 100, n).astype(np.int32)
         t = make_table(keys, pay)
-        gs = sort_aggregate(t, compaction="sort")
         merge_join.set_sort_impl("pallas")
         try:
-            gp = sort_aggregate(t, compaction="sort", interpret=True)
             fp, cp = filter_sort_aggregate(
                 t, lambda k, p: p > 0, compaction="sort", interpret=True
             )
         finally:
             merge_join.set_sort_impl("xla")
-        num = int(gs.num_groups)
-        assert num == int(gp.num_groups)
-        for field in ("keys", "count", "sum", "min", "max"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(gs, field))[:num],
-                np.asarray(getattr(gp, field))[:num],
-            )
         fs, cs = filter_sort_aggregate(
             t, lambda k, p: p > 0, compaction="sort"
         )
         assert int(cs) == int(cp)
         num = int(fs.num_groups)
         assert num == int(fp.num_groups)
-        np.testing.assert_array_equal(
-            np.asarray(fs.sum)[:num], np.asarray(fp.sum)[:num]
-        )
+        for field in ("keys", "count", "sum", "min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fs, field))[:num],
+                np.asarray(getattr(fp, field))[:num],
+            )
 
 
 def test_forced_kernel_compaction_refuses_wide_columns():
@@ -478,3 +483,266 @@ def test_forced_kernel_compaction_refuses_wide_columns():
         t = type(t)(keys=keys, payloads=pay)
         with _pytest.raises(TypeError, match="int32-only"):
             sort_aggregate(t, compaction="kernel", interpret=True)
+
+
+class TestStagedFilterAggregate:
+    """filter_sort_aggregate_staged (round 4): the two-dispatch filter-first
+    pipeline must agree exactly with the fused path — the block-compaction
+    kernel's alignment sentinels and undefined tail ride the validity
+    machinery, never the aggregates."""
+
+    def _compare(self, t, pred, cap):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate,
+            filter_sort_aggregate_staged,
+        )
+
+        gf, cf = filter_sort_aggregate(t, pred, group_capacity=cap)
+        gs, cs = filter_sort_aggregate_staged(
+            t, pred, group_capacity=cap, interpret=True
+        )
+        assert int(cf) == int(cs)
+        num = int(gf.num_groups)
+        assert num == int(gs.num_groups)
+        for field in ("keys", "count", "sum", "min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gf, field))[:num],
+                np.asarray(getattr(gs, field))[:num],
+                err_msg=field,
+            )
+        # staged drops row->group tracking but keeps the documented shape
+        assert gs.group_of_row.shape[0] == t.size
+        assert (np.asarray(gs.group_of_row) == -1).all()
+
+    def test_agrees_with_fused_across_selectivities(self):
+        rng = np.random.default_rng(21)
+        # shape discipline (round 4): distinct input sizes each recompile
+        # the interpret-mode compaction kernel (~60 s); reuse n=8192, with
+        # one 9000 case covering the pad/multi-block path
+        for n, hi, keep in (
+            (8192, 37, 0.5),     # one block, mixed selectivity
+            (9000, 4000, 0.1),   # non-BLK-multiple n (padding), sparse
+            (8192, 5, 0.95),     # heavy duplicates, nearly all kept
+        ):
+            keys = rng.integers(0, hi, n).astype(np.int32)
+            pay = rng.integers(-100, 100, n).astype(np.int32)
+            t = make_table(keys, pay)
+            lo = int(np.quantile(pay, 1 - keep))
+            self._compare(t, lambda k, p: p > lo, hi + 10)
+
+    def test_all_kept_and_all_dropped(self):
+        rng = np.random.default_rng(22)
+        keys = rng.integers(0, 50, 8192).astype(np.int32)
+        pay = rng.integers(-100, 100, 8192).astype(np.int32)
+        t = make_table(keys, pay)
+        self._compare(t, lambda k, p: p > -1000, 60)  # all kept
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate_staged,
+        )
+
+        g, count = filter_sort_aggregate_staged(
+            t, lambda k, p: p > 1000, group_capacity=60, interpret=True
+        )
+        assert int(count) == 0 and int(g.num_groups) == 0
+
+    def test_genuine_zero_key_rows_survive(self):
+        # compaction pads/zero-fills with key 0: genuine key-0 groups must
+        # be exact regardless (validity comes from pos, not key values)
+        keys = np.zeros(8192, np.int32)
+        pay = np.arange(8192, dtype=np.int32) - 4096
+        t = make_table(keys, pay)
+        self._compare(t, lambda k, p: p % 3 == 0, 10)
+
+    def test_rejects_wide_columns(self):
+        import jax as _jax
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate_staged,
+        )
+
+        with _jax.enable_x64(True):
+            keys = jnp.asarray(np.arange(100) % 5, jnp.int32)
+            pay = jnp.asarray(np.full(100, 2**33), jnp.int64)
+            t = make_table(np.zeros(100, np.int32), np.zeros(100, np.int32))
+            t = type(t)(keys=keys, payloads=pay)
+            with pytest.raises(TypeError, match="int32-only"):
+                filter_sort_aggregate_staged(
+                    t, lambda k, p: p > 0, interpret=True
+                )
+
+    def test_capacity_truncates_but_num_groups_exact(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate_staged,
+        )
+
+        keys = np.arange(8192, dtype=np.int32)
+        t = make_table(keys, keys)
+        g, count = filter_sort_aggregate_staged(
+            t, lambda k, p: p >= 0, group_capacity=10, interpret=True
+        )
+        assert int(count) == 8192
+        assert int(g.num_groups) == 8192  # exact despite truncation
+        assert g.keys.shape[0] == 10
+
+
+class TestDistinctAndMean:
+    """COUNT(DISTINCT payload) + AVG on the sort aggregate (round 4)."""
+
+    def _oracle(self, g, keys, pay, sel=None):
+        sel = np.ones(len(keys), bool) if sel is None else sel
+        num = int(g.num_groups)
+        gk = np.asarray(g.keys)[:num]
+        np.testing.assert_array_equal(gk, np.unique(keys[sel]))
+        dist = np.asarray(g.distinct)[:num]
+        for i, k in enumerate(gk):
+            m = sel & (keys == k)
+            assert dist[i] == len(np.unique(pay[m])), (k, dist[i])
+
+    def test_matches_numpy_both_compactions(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        rng = np.random.default_rng(31)
+        keys = rng.integers(0, 21, 8192).astype(np.int32)
+        pay = rng.integers(-7, 7, 8192).astype(np.int32)
+        t = make_table(keys, pay)
+        gs = sort_aggregate(t, compaction="sort", with_distinct=True)
+        self._oracle(gs, keys, pay)
+        gk = sort_aggregate(
+            t, compaction="kernel", interpret=True, with_distinct=True
+        )
+        num = int(gs.num_groups)
+        assert num == int(gk.num_groups)
+        np.testing.assert_array_equal(
+            np.asarray(gs.distinct)[:num], np.asarray(gk.distinct)[:num]
+        )
+
+    def test_with_filter_and_staged(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            filter_sort_aggregate,
+            filter_sort_aggregate_staged,
+        )
+
+        rng = np.random.default_rng(32)
+        keys = rng.integers(0, 15, 8192).astype(np.int32)
+        pay = rng.integers(0, 9, 8192).astype(np.int32)
+        t = make_table(keys, pay)
+        pred = lambda k, p: (p & 1) == 1  # noqa: E731
+        sel = (pay & 1) == 1
+        gf, cf = filter_sort_aggregate(t, pred, with_distinct=True)
+        self._oracle(gf, keys, pay, sel)
+        gs, cs = filter_sort_aggregate_staged(
+            t, pred, interpret=True, with_distinct=True
+        )
+        assert int(cf) == int(cs)
+        num = int(gf.num_groups)
+        assert num == int(gs.num_groups)
+        np.testing.assert_array_equal(
+            np.asarray(gf.distinct)[:num], np.asarray(gs.distinct)[:num]
+        )
+
+    def test_single_distinct_heavy_duplicates(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        keys = np.repeat(np.arange(4, dtype=np.int32), 100)
+        pay = np.full(400, 5, np.int32)
+        g = sort_aggregate(make_table(keys, pay), with_distinct=True)
+        np.testing.assert_array_equal(np.asarray(g.distinct)[:4], [1] * 4)
+
+    def test_default_has_no_distinct(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        g = sort_aggregate(
+            make_table(np.arange(10, dtype=np.int32),
+                       np.arange(10, dtype=np.int32))
+        )
+        assert g.distinct is None
+
+    def test_mean(self):
+        from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+
+        rng = np.random.default_rng(33)
+        keys = rng.integers(0, 9, 1000).astype(np.int32)
+        pay = rng.integers(-100, 100, 1000).astype(np.int32)
+        g = sort_aggregate(make_table(keys, pay), group_capacity=20)
+        num = int(g.num_groups)
+        means = np.asarray(g.mean())[:num]
+        gk = np.asarray(g.keys)[:num]
+        for i, k in enumerate(gk):
+            np.testing.assert_allclose(
+                means[i], pay[keys == k].mean(), rtol=1e-6
+            )
+        # capacity tail (count == 0) must be 0, not NaN
+        assert not np.isnan(np.asarray(g.mean())).any()
+
+
+class TestOrderBy:
+    """ORDER BY / LIMIT operators (round 4)."""
+
+    def test_order_by_key_and_payload(self):
+        from partitionedhashjoin_tpu.ops.order_by import order_by
+
+        rng = np.random.default_rng(41)
+        keys = rng.integers(-1000, 1000, 3000).astype(np.int32)
+        pay = rng.integers(-1000, 1000, 3000).astype(np.int32)
+        t = make_table(keys, pay)
+        for by, desc in (("key", False), ("key", True),
+                         ("payload", False), ("payload", True)):
+            out = order_by(t, by=by, descending=desc)
+            ok, op = np.asarray(out.keys), np.asarray(out.payloads)
+            col = ok if by == "key" else op
+            exp = np.sort(col)[::-1] if desc else np.sort(col)
+            np.testing.assert_array_equal(col, exp)
+            # row integrity: (key, payload) multiset unchanged
+            got = sorted(zip(ok.tolist(), op.tolist()))
+            want = sorted(zip(keys.tolist(), pay.tolist()))
+            assert got == want
+
+    def test_order_by_tiebreak_is_row_stable(self):
+        from partitionedhashjoin_tpu.ops.order_by import order_by
+
+        keys = np.array([5, 5, 5, 1, 1], np.int32)
+        pay = np.arange(5, dtype=np.int32)
+        out = order_by(make_table(keys, pay), by="key")
+        np.testing.assert_array_equal(np.asarray(out.payloads), [3, 4, 0, 1, 2])
+
+    def test_order_by_int_min_descending(self):
+        # ~x (not -x) handles INT32_MIN: descending must place it last
+        from partitionedhashjoin_tpu.ops.order_by import order_by
+
+        keys = np.array([0, -2**31, 2**31 - 1, -1], np.int32)
+        out = order_by(make_table(keys, keys.copy()), by="key",
+                       descending=True)
+        np.testing.assert_array_equal(
+            np.asarray(out.keys), [2**31 - 1, 0, -1, -2**31]
+        )
+
+    def test_top_k(self):
+        from partitionedhashjoin_tpu.ops.order_by import top_k
+
+        rng = np.random.default_rng(42)
+        keys = rng.permutation(5000).astype(np.int32) - 2500
+        pay = keys * 3
+        t = make_table(keys, pay)
+        hi = top_k(t, 10, by="key", descending=True)
+        np.testing.assert_array_equal(
+            np.asarray(hi.keys), np.sort(keys)[::-1][:10]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(hi.payloads), np.asarray(hi.keys) * 3
+        )
+        lo = top_k(t, 7, by="payload", descending=False)
+        np.testing.assert_array_equal(
+            np.asarray(lo.payloads), np.sort(pay)[:7]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lo.keys), np.asarray(lo.payloads) // 3
+        )
+
+    def test_top_k_validation(self):
+        from partitionedhashjoin_tpu.ops.order_by import top_k
+
+        t = make_table(np.arange(5, dtype=np.int32),
+                       np.arange(5, dtype=np.int32))
+        with pytest.raises(ValueError, match="exceeds"):
+            top_k(t, 6)
+        with pytest.raises(ValueError, match="positive"):
+            top_k(t, 0)

@@ -178,3 +178,48 @@ class TestGenerateLowering:
             lambda s: zipf_keys_pallas(s, 1 << 18, 1.05, 10_000),
             S((), jnp.uint32),
         )
+
+
+class TestStagedPipelineLowering:
+    """Round-4 staged filter→GROUP BY: both dispatches, incl. the
+    5-carried-column compaction kernel the distinct path adds."""
+
+    def test_staged_filter_dispatch(self):
+        from partitionedhashjoin_tpu.ops.aggregate import _staged_filter
+        from partitionedhashjoin_tpu.ops.pallas.bitonic_sort import BLK
+
+        n = 2 * BLK + 100  # exercises the pad branch
+        _lowers(
+            lambda k, p, m: _staged_filter(k, p, m),
+            S((n,), jnp.int32), S((n,), jnp.int32), S((n,), jnp.bool_),
+        )
+
+    def test_staged_pass2_with_distinct(self):
+        from partitionedhashjoin_tpu.ops.aggregate import _staged_pass2
+        from partitionedhashjoin_tpu.ops.pallas.bitonic_sort import BLK
+
+        n = 3 * BLK
+        size = 2 * BLK
+        _lowers(
+            lambda t, pos, k, p: _staged_pass2(
+                t, pos, k, p, n, size, 4096,
+                kernel_compaction=True, interpret=False, sort_impl="pallas",
+                with_distinct=True,
+            ),
+            S((), jnp.int32), S((n + BLK,), jnp.int32),
+            S((n + BLK,), jnp.int32), S((n + BLK,), jnp.int32),
+        )
+
+    def test_group_by_distinct_program(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            _sort_group_and_aggregate,
+        )
+
+        n = 500_000
+        _lowers(
+            lambda k, p: _sort_group_and_aggregate(
+                k, p, 4096, kernel_compaction=True, sort_impl="xla",
+                with_distinct=True,
+            ),
+            S((n,), jnp.int32), S((n,), jnp.int32),
+        )
