@@ -177,6 +177,7 @@ def filter_aggregate(table: Table, predicate, seed: int = 0) -> GroupByResult:
     static_argnames=(
         "group_capacity", "has_valid", "with_group_of_row",
         "kernel_compaction", "interpret", "sort_impl", "with_distinct",
+        "presorted",
     ),
 )
 def _sort_group_and_aggregate(
@@ -190,6 +191,7 @@ def _sort_group_and_aggregate(
     interpret: bool = False,
     sort_impl: str = "xla",
     with_distinct: bool = False,
+    presorted: bool = False,
 ) -> GroupByResult:
     n = keys.shape[0]
     if n == 0:
@@ -233,7 +235,15 @@ def _sort_group_and_aggregate(
     # pass 1: one unstable multi-key sort; extra operands are nearly free.
     # Invalid rows sort to the back, so the valid prefix is contiguous.
     ops = (inv, keys, payloads) + ((iota,) if with_group_of_row else ())
-    if sort_impl == "pallas" and all(o.dtype == jnp.int32 for o in ops):
+    if presorted:
+        # caller asserts the input is ALREADY (inv, key, payload)-ordered:
+        # valid rows a prefix, keys ascending within it, payloads ascending
+        # within each key run (aggregate_sorted's payload_sorted contract —
+        # the materialized join emits exactly this order).  Every
+        # downstream invariant (min at run start, max at run end, distinct
+        # pair boundaries) then holds without the relation sort.
+        sorted_ops = ops
+    elif sort_impl == "pallas" and all(o.dtype == jnp.int32 for o in ops):
         # full-lex tuple order == (inv, key, payload) 3-key order (payload
         # IS the 3rd key; an iota operand only breaks exact-duplicate ties,
         # whose rows share a group).  All-MAX padding sorts past inv<=1.
@@ -381,6 +391,294 @@ def _sort_group_and_aggregate(
             group_of_row=jnp.zeros((n,), jnp.int32).at[row_iota_s].set(gid_s),
         )
     return res
+
+
+_SEG_L = 8192  # intra-block scan length for the two-level segmented scan
+
+
+def _seg_comb(op):
+    """Segmented-scan operator: flag marks a segment START toward the scan
+    direction.  Associative by the standard (value, flag) construction."""
+
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, op(va, vb)), fa | fb
+
+    return comb
+
+
+def _seg_suffix_scan(vals, is_end, op):
+    """Segmented SUFFIX scan: out[i] = op-fold of vals[i..j] where j is the
+    first position >= i with ``is_end[j]`` (out[i] = vals[i] when is_end[i]).
+
+    TWO-LEVEL formulation: a single flat ``associative_scan`` over a
+    relation-sized array emits log2(n) ≈ 28 levels of relation-sized
+    slice/concat HLO — at 200M that OOM-killed the remote TPU compile
+    helper (round-4 measurement, scripts/r4_logs/pipeline.log).  Reshaping
+    to (B, 8192) caps level count at 13 relation-sized levels plus a
+    B-sized block-summary scan and one broadcast fix-up — the hierarchical
+    scan idiom the merge-count kernel uses in VMEM, expressed in XLA.
+    Works in reversed orientation (suffix = prefix of the flipped array,
+    where ``is_end`` becomes the segment-start flag)."""
+    n = vals.shape[0]
+    comb = _seg_comb(op)
+    if n <= _SEG_L:
+        out, _ = jax.lax.associative_scan(comb, (vals, is_end), reverse=True)
+        return out
+    pad = (-n) % _SEG_L
+    r_vals = vals[::-1]
+    r_flag = is_end[::-1]
+    if pad:
+        # pad values are op-identity-free: they carry flag False and sit
+        # PAST every real row in reversed orientation, so they only ever
+        # appear as the left operand of real rows' combines — where a
+        # flagged first real element resets anyway.  The LAST real row of
+        # the original array is is_end (or invalid/unread), so no real
+        # suffix extends into the pad.
+        r_vals = jnp.concatenate([r_vals, jnp.zeros((pad,), vals.dtype)])
+        r_flag = jnp.concatenate([r_flag, jnp.zeros((pad,), jnp.bool_)])
+    B = r_vals.shape[0] // _SEG_L
+    V = r_vals.reshape(B, _SEG_L)
+    F = r_flag.reshape(B, _SEG_L)
+    # level 1: segmented prefix scan within each block (13 levels)
+    sv, sf = jax.lax.associative_scan(comb, (V, F), axis=1)
+    # level 2: carry flowing INTO each block = inclusive segmented scan of
+    # the block summaries (last element of each block's level-1 scan),
+    # shifted by one.  For every b > 0 the incoming piece is nonempty (the
+    # segment containing block b-1's last element), so only b=0 lacks one.
+    csv, _ = jax.lax.associative_scan(comb, (sv[:, -1], sf[:, -1]))
+    carry_v = jnp.concatenate([csv[:1], csv[:-1]])  # value is unread for b=0
+    no_carry = (
+        jnp.arange(B, dtype=jnp.int32) == 0
+    )
+    # fix-up: rows with no flag at-or-before them in their block (sf False)
+    # continue the incoming segment and absorb the carry
+    fixed = jnp.where(
+        sf | no_carry[:, None], sv, op(carry_v[:, None], sv)
+    )
+    out = fixed.reshape(-1)[:n]
+    return out[::-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_capacity", "has_nvalid", "kernel_compaction", "interpret",
+    ),
+)
+def _aggregate_sorted_impl(
+    keys: jax.Array,
+    payloads: jax.Array,
+    group_capacity: int,
+    n_valid_in=None,
+    has_nvalid: bool = False,
+    kernel_compaction: bool = False,
+    interpret: bool = False,
+) -> GroupByResult:
+    n = keys.shape[0]
+    if n == 0:
+        gz = jnp.zeros((group_capacity,), jnp.int32)
+        pz = jnp.zeros((group_capacity,), payloads.dtype)
+        return GroupByResult(
+            keys=gz, count=gz, sum=pz, min=pz, max=pz,
+            num_groups=jnp.asarray(0, jnp.int32),
+            group_of_row=jnp.full((n,), -1, jnp.int32),
+        )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    if has_nvalid:
+        n_valid = jnp.asarray(n_valid_in, jnp.int32)
+        valid_s = iota < n_valid
+    else:
+        n_valid = jnp.asarray(n, jnp.int32)
+        valid_s = jnp.ones((n,), jnp.bool_)
+    key_s, pay_s = keys, payloads
+    prev_key = jnp.concatenate([key_s[:1], key_s[:-1]])
+    is_start = valid_s & ((iota == 0) | (key_s != prev_key))
+    num_groups = jnp.sum(is_start.astype(jnp.int32))
+    if group_capacity == 0:
+        gz = jnp.zeros((0,), jnp.int32)
+        pz = jnp.zeros((0,), payloads.dtype)
+        return GroupByResult(
+            keys=gz, count=gz, sum=pz, min=pz, max=pz,
+            num_groups=num_groups,
+            group_of_row=jnp.full((n,), -1, jnp.int32),
+        )
+
+    cs = jnp.cumsum(pay_s, dtype=payloads.dtype)
+    csx = cs - pay_s.astype(payloads.dtype)
+
+    # MIN/MAX without payload ordering (the sort path gets them free from
+    # payload-as-3rd-key; here payloads within a group are arbitrary):
+    # segmented SUFFIX scans — at a group's start row, the suffix aggregate
+    # bounded by the group end IS the full-group aggregate, and start rows
+    # are exactly what pass 2 compacts.  The invalid tail never reaches a
+    # start row (valid rows are a prefix), so its scan content is unread.
+    nxt_key = jnp.concatenate([key_s[1:], key_s[-1:]])
+    nxt_valid = jnp.concatenate([valid_s[1:], jnp.zeros((1,), jnp.bool_)])
+    is_end = valid_s & (~nxt_valid | (nxt_key != key_s))
+
+    seg_min = _seg_suffix_scan(pay_s, is_end, jnp.minimum)
+    seg_max = _seg_suffix_scan(pay_s, is_end, jnp.maximum)
+
+    if kernel_compaction:
+        from partitionedhashjoin_tpu.ops.pallas.compact import (
+            BLK as _CBLK,
+            compact_columns,
+        )
+
+        pad = (-n) % _CBLK
+
+        def padded(x, fill):
+            if pad == 0:
+                return x
+            return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+
+        _, _ok, s_full, gkey, gmin, gcsx, gmax = compact_columns(
+            padded(is_start, False),
+            padded(key_s, 0),
+            padded(seg_min, 0),
+            padded(csx, jnp.zeros((), payloads.dtype)),
+            padded(seg_max, 0),
+            capacity=group_capacity,
+            interpret=interpret,
+        )
+    else:
+        flag = jnp.where(is_start, 0, 1).astype(jnp.int32)
+        _, s_full, gkey, gmin, gcsx, gmax = jax.lax.sort(
+            (flag, iota, key_s, seg_min, csx, seg_max),
+            num_keys=2, is_stable=False,
+        )
+
+    cap = group_capacity
+    g = jnp.arange(cap, dtype=jnp.int32)
+    g_ok = g < num_groups
+    has_next = g + 1 < num_groups
+    zero_p = jnp.zeros((), payloads.dtype)
+    zero1 = jnp.zeros((1,), jnp.int32)
+    zero1_p = jnp.zeros((1,), payloads.dtype)
+
+    def shift(col, pad_v):
+        return jnp.concatenate([col[1:cap + 1], pad_v])[:cap]
+
+    s_g = jnp.where(g_ok, s_full[:cap], 0)
+    e_excl = jnp.where(has_next, shift(s_full, zero1), n_valid)
+    count = jnp.where(g_ok, e_excl - s_g, 0)
+    total_valid = jnp.sum(
+        jnp.where(valid_s, pay_s, 0), dtype=payloads.dtype
+    )
+    sum_hi = jnp.where(has_next, shift(gcsx, zero1_p), total_valid)
+    return GroupByResult(
+        keys=jnp.where(g_ok, gkey[:cap], 0),
+        count=count,
+        sum=jnp.where(g_ok, sum_hi - gcsx[:cap], zero_p),
+        min=jnp.where(g_ok, gmin[:cap], zero_p),
+        max=jnp.where(g_ok, gmax[:cap], zero_p),
+        num_groups=num_groups,
+        group_of_row=jnp.full((n,), -1, jnp.int32),
+    )
+
+
+def aggregate_sorted(
+    table: Table,
+    group_capacity: "int | None" = None,
+    n_valid=None,
+    compaction: str = "auto",
+    interpret: bool = False,
+    check: bool = False,
+    payload_sorted: bool = False,
+    with_distinct: bool = False,
+) -> GroupByResult:
+    """Order-propagating GROUP BY: aggregate a table whose keys are ALREADY
+    ascending, skipping the pass-1 relation sort entirely (the dominant
+    cost of ``sort_aggregate`` — 1.12 s of 1.70 s at 200M rows on chip).
+
+    This is the engine's interesting-order rule: the materialized join
+    (``merge_join.two_run_materialize``) emits its output in sorted-key
+    order, so a join → GROUP BY query feeds it here and never pays a
+    second relation-sized reorder.  Two variants:
+
+    - ``payload_sorted=True`` (the at-scale route): payloads also ascend
+      within each key run (``two_run_materialize(probe_payload_sorted=
+      True)`` provides this for ~0.2 ns/el).  MIN/MAX/COUNT DISTINCT fall
+      out of run boundaries exactly as in ``sort_aggregate``'s post-sort
+      logic, which this reuses verbatim with the sort skipped
+      (``presorted=True``) — no scans, full feature set.
+    - default: payloads within a run are arbitrary; MIN/MAX come from a
+      two-level segmented suffix scan (``_seg_suffix_scan``).  COUNT
+      DISTINCT is refused (it needs payload-ordered runs).  CAUTION: the
+      scan program at full relation scale (200M) OOM-kills this
+      environment's remote TPU compile helper (measured, round 4); it
+      compiles fine at tens of millions of rows and everywhere on CPU.
+      Prefer ``payload_sorted`` when the producer can provide the order.
+
+    COUNT/SUM use the boundary-cumsum scheme either way.  ``n_valid``:
+    number of leading valid rows (rows past it are ignored — the
+    materializer's compacted zero tail, for instance).  Keys must ascend
+    over ``[0, n_valid)`` (and payload runs too, under
+    ``payload_sorted``); ``check=True`` verifies that with one cheap
+    fused reduce + readback and raises on violation (unchecked calls with
+    unsorted input return garbage, like any presorted contract).  Returns
+    the usual capacity-truncated ``GroupByResult`` with exact
+    ``num_groups``.
+    """
+    n = table.size
+    if check and n:
+        k = table.keys
+        asc = k[1:] >= k[:-1]
+        if payload_sorted:
+            p = table.payloads
+            asc = (k[1:] > k[:-1]) | (
+                (k[1:] == k[:-1]) & (p[1:] >= p[:-1])
+            )
+        if n_valid is not None:
+            lim = jnp.asarray(n_valid, jnp.int32)
+            ok_arr = (jnp.arange(n - 1, dtype=jnp.int32) + 1 >= lim) | asc
+        else:
+            ok_arr = asc
+        if not bool(jax.device_get(jnp.all(ok_arr))):
+            raise ValueError(
+                "aggregate_sorted: keys (or payload runs, with "
+                "payload_sorted) are not ascending over the valid prefix"
+            )
+    cap = n if group_capacity is None else min(group_capacity, n)
+    if payload_sorted:
+        # payloads ascend within each key run (the materializer's
+        # probe_payload_sorted=True output): min/max/distinct come from the
+        # run boundaries exactly as in the sort path, so this rides
+        # _sort_group_and_aggregate with the pass-1 sort skipped — no
+        # segmented scans (whose 200M-scale programs OOM the remote
+        # compile helper; see _seg_suffix_scan).
+        valid = None
+        if n_valid is not None:
+            valid = jnp.arange(n, dtype=jnp.int32) < jnp.asarray(
+                n_valid, jnp.int32
+            )
+        return _sort_group_and_aggregate(
+            table.keys,
+            table.payloads,
+            cap,
+            valid=valid,
+            has_valid=valid is not None,
+            kernel_compaction=_kernel_compaction_choice(table, compaction),
+            interpret=interpret,
+            with_distinct=with_distinct,
+            presorted=True,
+        )
+    if with_distinct:
+        raise ValueError(
+            "with_distinct needs payload-ordered runs: pass "
+            "payload_sorted=True (or use sort_aggregate)"
+        )
+    return _aggregate_sorted_impl(
+        table.keys,
+        table.payloads,
+        cap,
+        n_valid_in=n_valid,
+        has_nvalid=n_valid is not None,
+        kernel_compaction=_kernel_compaction_choice(table, compaction),
+        interpret=interpret,
+    )
 
 
 def _kernel_compaction_choice(table: Table, compaction: str) -> bool:

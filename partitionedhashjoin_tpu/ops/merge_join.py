@@ -300,12 +300,15 @@ class PreparedBuild:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sort_impl"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "sort_impl", "probe_payload_sorted")
+)
 def _materialize_i32(
     build_keys, build_payloads, probe_keys, probe_payloads,
     interpret: bool = False, sort_impl: str = "xla",
+    probe_payload_sorted: bool = False,
 ):
-    def kv_sort(keys, pay):
+    def kv_sort(keys, pay, full_lex=False):
         # unstable key sort carrying the payload; the pallas tuple sorter
         # orders ties by payload (full-lex) — any tie order is acceptable
         if resolve_sort_impl(sort_impl, interpret) == "pallas":
@@ -315,13 +318,19 @@ def _materialize_i32(
                 jnp.asarray(keys, jnp.int32), jnp.asarray(pay, jnp.int32),
                 interpret=interpret,
             )
+        # full_lex: payload becomes a SECOND sort key, so output runs are
+        # payload-ascending within each key — what aggregate_sorted's
+        # payload_sorted fast path consumes.  Measured premium ~0.2 ns/el
+        # (unstable 2-key 3.1 vs key+value ~2.9, docs/PERFORMANCE.md).
         return jax.lax.sort(
             (jnp.asarray(keys, jnp.int32), jnp.asarray(pay, jnp.int32)),
-            num_keys=1, is_stable=False,
+            num_keys=2 if full_lex else 1, is_stable=False,
         )
 
     a_keys, a_pay = kv_sort(build_keys, build_payloads)
-    b_keys, b_pay = kv_sort(probe_keys, probe_payloads)
+    b_keys, b_pay = kv_sort(
+        probe_keys, probe_payloads, full_lex=probe_payload_sorted
+    )
     pay_a, pos = merge_probe.ranged_merge_payload_prepared(
         a_keys, a_pay, b_keys, interpret=interpret
     )
@@ -350,6 +359,7 @@ def two_run_materialize(
     probe_keys: jax.Array,
     probe_payloads: jax.Array,
     interpret: bool = False,
+    probe_payload_sorted: bool = False,
 ):
     """Materialized first-match inner join on the kernel path (int32).
 
@@ -365,6 +375,13 @@ def two_run_materialize(
     sorts + the payload kernel; the compaction dispatch is SKIPPED when
     every probe row matches (count readback decides), which is the common
     primary-key⋈foreign-key case.
+
+    ``probe_payload_sorted=True`` makes the probe payload a SECOND sort
+    key (~0.2 ns/el premium), so output ``pay_b`` runs ascend within each
+    key — the order ``aggregate_sorted(payload_sorted=True)`` consumes for
+    a sort-free downstream GROUP BY (the composed-query plan,
+    scripts/bench_pipeline.py).  Stable-partition compaction preserves
+    the order in the non-all-match case.
     """
     for name, arr in (
         ("build_keys", build_keys),
@@ -393,6 +410,7 @@ def two_run_materialize(
     b_keys, pay_a, b_pay, pos, count = call(
         _materialize_i32, build_keys, build_payloads, probe_keys,
         probe_payloads, interpret=interpret, sort_impl=_SORT_IMPL,
+        probe_payload_sorted=probe_payload_sorted,
     )
     if int(jax.device_get(count)) == n_b:  # all-match: no compaction needed
         return b_keys, pay_a, b_pay, count

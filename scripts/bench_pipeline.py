@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Composed analytics query at reference scale, on chip:
+
+    SELECT b.key, COUNT(*), SUM(b.pay), MIN(b.pay), MAX(b.pay)
+    FROM B JOIN A USING (key) GROUP BY key          -- then ORDER BY count LIMIT 10
+
+via the engine's order-propagation rule: the materialized kernel join
+(merge_join.two_run_materialize) emits key-ORDERED output, so the GROUP BY
+rides aggregate_sorted and never pays a second relation sort.  A/B'd
+against the naive plan (materialize -> sort_aggregate, which re-sorts
+200M rows) with full result-equality as the oracle.  Prints one JSON line.
+
+Run WITHOUT JAX_PLATFORMS=cpu.  Env: PHJ_BENCH_PRIMARY/SECONDARY/SKEW,
+PHJ_BENCH_INTERPRET=1 for a CPU smoke of the script logic.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+from partitionedhashjoin_tpu.data.table import Table
+from partitionedhashjoin_tpu.ops.aggregate import (
+    aggregate_sorted,
+    sort_aggregate,
+)
+from partitionedhashjoin_tpu.ops.merge_join import two_run_materialize
+from partitionedhashjoin_tpu.ops.order_by import top_k
+from partitionedhashjoin_tpu.utils.device import sync
+
+N_A = int(os.environ.get("PHJ_BENCH_PRIMARY", 10_000_000))
+N_B = int(os.environ.get("PHJ_BENCH_SECONDARY", 200_000_000))
+SKEW = float(os.environ.get("PHJ_BENCH_SKEW", 1.05))
+INTERPRET = os.environ.get("PHJ_BENCH_INTERPRET", "") == "1"
+BASELINE_ROWS_PER_S = 200e6 / 1.196  # reference best JOIN, scale context
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def run_query(a_keys, a_pay, b_keys, b_pay, cap, ordered: bool):
+    """materialize -> GROUP BY (order-propagating or naive) -> top-10.
+
+    The ordered plan asks the materializer for payload-ascending runs
+    (one extra sort key, ~0.2 ns/el) so the GROUP BY needs NO relation
+    sort and NO segmented scans (whose 200M-scale compile OOMs the remote
+    helper — docs/PERFORMANCE.md round 4)."""
+    keys, pa, pb, count = two_run_materialize(
+        a_keys, a_pay, b_keys, b_pay, interpret=INTERPRET,
+        probe_payload_sorted=ordered,
+    )
+    t = Table(keys=keys, payloads=pb)
+    if ordered:
+        g = aggregate_sorted(
+            t, group_capacity=cap, n_valid=count, interpret=INTERPRET,
+            payload_sorted=True,
+        )
+    else:
+        g = sort_aggregate(t, group_capacity=cap, interpret=INTERPRET)
+    hot = top_k(
+        Table(keys=g.count, payloads=g.keys), 10, by="key", descending=True
+    )
+    sync((hot.keys, hot.payloads, g.sum))
+    return g, hot, count
+
+
+def main():
+    log(f"device: {jax.devices()[0]}; query over {N_A} ⋈ {N_B}, skew {SKEW}")
+    t0 = time.perf_counter()
+    from partitionedhashjoin_tpu.ops.generators import zipf_keys
+
+    a_keys = jnp.arange(1, N_A + 1, dtype=jnp.int32)
+    a_pay = a_keys ^ 0x5A17
+    b_keys = zipf_keys(jax.random.PRNGKey(20260819), N_B, SKEW, N_A)
+    b_pay = jax.random.randint(
+        jax.random.PRNGKey(9), (N_B,), 0, 1 << 20, dtype=jnp.int32
+    )
+    sync((a_keys, b_keys, b_pay))
+    log(f"generate: {time.perf_counter() - t0:.1f}s")
+
+    cap = 1 << 24
+    results = {}
+    for name, ordered in (("ordered", True), ("naive-resort", False)):
+        g, hot, count = run_query(a_keys, a_pay, b_keys, b_pay, cap, ordered)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            g, hot, count = run_query(
+                a_keys, a_pay, b_keys, b_pay, cap, ordered
+            )
+            best = min(best, time.perf_counter() - t0)
+        results[name] = (best, g, hot, int(jax.device_get(count)))
+        log(
+            f"join+group-by+top10 [{name}]: {best*1e3:.0f} ms "
+            f"-> {N_B/best/1e6:.0f}M rows/s"
+        )
+
+    # oracle: the two plans must agree on EVERYTHING
+    (_, g1, hot1, c1), (_, g2, hot2, c2) = results.values()
+    assert c1 == c2 == N_B, (c1, c2)
+    n1 = int(jax.device_get(g1.num_groups))
+    assert n1 == int(jax.device_get(g2.num_groups))
+    eq = jax.jit(
+        lambda a, b: jnp.all(
+            jnp.array([jnp.all(x[:n1] == y[:n1]) for x, y in zip(a, b)])
+        )
+    )
+    fields1 = (g1.keys, g1.count, g1.sum, g1.min, g1.max)
+    fields2 = (g2.keys, g2.count, g2.sum, g2.min, g2.max)
+    assert bool(jax.device_get(eq(fields1, fields2))), "plan results differ"
+    assert jax.device_get(hot1.keys).tolist() == (
+        jax.device_get(hot2.keys).tolist()
+    )
+    log(f"oracle: {n1} groups, plans identical, top-1 count "
+        f"{int(jax.device_get(hot1.keys)[0])}")
+
+    best = results["ordered"][0]
+    print(json.dumps({
+        "metric": f"query_join_groupby_rows_per_s_{N_A}x{N_B}_skew{SKEW}",
+        "value": round(N_B / best),
+        "unit": "rows/s",
+        "vs_baseline": round(N_B / best / BASELINE_ROWS_PER_S, 3),
+        "naive_resort_ms": round(results["naive-resort"][0] * 1e3),
+        "ordered_ms": round(best * 1e3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

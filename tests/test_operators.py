@@ -746,3 +746,235 @@ class TestOrderBy:
             top_k(t, 6)
         with pytest.raises(ValueError, match="positive"):
             top_k(t, 0)
+
+
+class TestAggregateSorted:
+    """Order-propagating GROUP BY (round 4): aggregate_sorted must equal
+    sort_aggregate on key-sorted input without paying the pass-1 sort."""
+
+    def _compare(self, keys_sorted, pay, cap=None, **kw):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            aggregate_sorted,
+            sort_aggregate,
+        )
+
+        t = make_table(keys_sorted, pay)
+        gs = sort_aggregate(t, group_capacity=cap, compaction="sort")
+        ga = aggregate_sorted(t, group_capacity=cap, **kw)
+        num = int(gs.num_groups)
+        assert num == int(ga.num_groups)
+        for field in ("keys", "count", "sum", "min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gs, field))[:num],
+                np.asarray(getattr(ga, field))[:num],
+                err_msg=field,
+            )
+
+    def test_matches_sort_aggregate(self):
+        rng = np.random.default_rng(51)
+        keys = np.sort(rng.integers(0, 40, 4000)).astype(np.int32)
+        pay = rng.integers(-100, 100, 4000).astype(np.int32)
+        self._compare(keys, pay, compaction="sort")
+        self._compare(keys, pay, cap=10, compaction="sort")  # truncation
+        # single group / all-distinct extremes
+        self._compare(np.zeros(100, np.int32),
+                      rng.integers(-5, 5, 100).astype(np.int32),
+                      compaction="sort")
+        self._compare(np.arange(100, dtype=np.int32),
+                      rng.integers(-5, 5, 100).astype(np.int32),
+                      compaction="sort")
+
+    def test_kernel_compaction_path(self):
+        rng = np.random.default_rng(52)
+        keys = np.sort(rng.integers(0, 37, 8192)).astype(np.int32)
+        pay = rng.integers(-100, 100, 8192).astype(np.int32)
+        self._compare(keys, pay, compaction="kernel", interpret=True)
+
+    def test_n_valid_ignores_tail(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            aggregate_sorted,
+            sort_aggregate,
+        )
+
+        rng = np.random.default_rng(53)
+        head = np.sort(rng.integers(0, 9, 700)).astype(np.int32)
+        pay = rng.integers(-50, 50, 1000).astype(np.int32)
+        # tail is DESCENDING junk incl. duplicates of valid keys — must be
+        # entirely invisible to every aggregate
+        keys = np.concatenate([head, np.arange(300, 0, -1, dtype=np.int32)])
+        ga = aggregate_sorted(
+            make_table(keys, pay), n_valid=700, compaction="sort"
+        )
+        gs = sort_aggregate(
+            make_table(head, pay[:700]), compaction="sort"
+        )
+        num = int(gs.num_groups)
+        assert num == int(ga.num_groups)
+        for field in ("keys", "count", "sum", "min", "max"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gs, field))[:num],
+                np.asarray(getattr(ga, field))[:num],
+                err_msg=field,
+            )
+
+    def test_check_raises_on_unsorted(self):
+        from partitionedhashjoin_tpu.ops.aggregate import aggregate_sorted
+
+        keys = np.array([3, 1, 2], np.int32)
+        with pytest.raises(ValueError, match="not ascending"):
+            aggregate_sorted(
+                make_table(keys, keys), check=True, compaction="sort"
+            )
+        # unsorted content past n_valid is fine
+        aggregate_sorted(
+            make_table(np.array([1, 2, 0], np.int32),
+                       np.zeros(3, np.int32)),
+            n_valid=2, check=True, compaction="sort",
+        )
+
+    def test_join_then_groupby_pipeline(self):
+        # the composed query the operator exists for: materialized join
+        # output (key-ordered, zero tail) -> aggregate_sorted, vs numpy
+        from partitionedhashjoin_tpu.ops.aggregate import aggregate_sorted
+        from partitionedhashjoin_tpu.ops.merge_join import (
+            two_run_materialize,
+        )
+
+        rng = np.random.default_rng(54)
+        a_keys = np.arange(1, 201, dtype=np.int32)
+        a_pay = (a_keys * 7 + 3).astype(np.int32)
+        b_keys = rng.integers(1, 251, 4000).astype(np.int32)  # some miss
+        b_pay = rng.integers(-100, 100, 4000).astype(np.int32)
+        keys, pa, pb, count = two_run_materialize(
+            jnp.asarray(a_keys), jnp.asarray(a_pay),
+            jnp.asarray(b_keys), jnp.asarray(b_pay), interpret=True,
+        )
+        c = int(count)
+        g = aggregate_sorted(
+            make_table(keys, pb), n_valid=count, check=True,
+            compaction="sort",
+        )
+        sel = np.isin(b_keys, a_keys)
+        num = int(g.num_groups)
+        np.testing.assert_array_equal(
+            np.asarray(g.keys)[:num], np.unique(b_keys[sel])
+        )
+        for i, k in enumerate(np.asarray(g.keys)[:num]):
+            m = sel & (b_keys == k)
+            assert int(g.count[i]) == m.sum()
+            assert int(g.sum[i]) == b_pay[m].sum()
+            assert int(g.min[i]) == b_pay[m].min()
+            assert int(g.max[i]) == b_pay[m].max()
+        assert c == sel.sum()
+
+    def test_two_level_segmented_scan_oracle(self):
+        # n > 8192 exercises the blocked formulation (the flat
+        # associative_scan OOM-killed the remote compile at 200M)
+        from partitionedhashjoin_tpu.ops.aggregate import _seg_suffix_scan
+
+        rng = np.random.default_rng(55)
+        for n in (20000, 16384, 8193, 300):
+            vals = rng.integers(-1000, 1000, n).astype(np.int32)
+            is_end = rng.random(n) < 0.01
+            is_end[-1] = True
+            got_min = np.asarray(
+                _seg_suffix_scan(jnp.asarray(vals), jnp.asarray(is_end),
+                                 jnp.minimum)
+            )
+            got_max = np.asarray(
+                _seg_suffix_scan(jnp.asarray(vals), jnp.asarray(is_end),
+                                 jnp.maximum)
+            )
+            # numpy oracle: suffix fold up to the next is_end inclusive
+            exp_min = np.empty(n, np.int32)
+            exp_max = np.empty(n, np.int32)
+            cur_min = cur_max = None
+            for i in range(n - 1, -1, -1):
+                if is_end[i] or cur_min is None:
+                    cur_min = cur_max = vals[i]
+                else:
+                    cur_min = min(cur_min, vals[i])
+                    cur_max = max(cur_max, vals[i])
+                exp_min[i] = cur_min
+                exp_max[i] = cur_max
+            np.testing.assert_array_equal(got_min, exp_min, err_msg=str(n))
+            np.testing.assert_array_equal(got_max, exp_max, err_msg=str(n))
+
+    def test_matches_sort_aggregate_multiblock(self):
+        # > _SEG_L rows so MIN/MAX ride the two-level scan inside the
+        # full aggregate program
+        rng = np.random.default_rng(56)
+        keys = np.sort(rng.integers(0, 500, 20000)).astype(np.int32)
+        pay = rng.integers(-1000, 1000, 20000).astype(np.int32)
+        self._compare(keys, pay, compaction="sort")
+
+    def test_payload_sorted_path_and_distinct(self):
+        # payload-ascending runs: min/max/distinct via run boundaries, no
+        # segmented scans (the at-scale route — docs/PERFORMANCE.md r4)
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            aggregate_sorted,
+            sort_aggregate,
+        )
+
+        rng = np.random.default_rng(57)
+        keys = np.sort(rng.integers(0, 40, 5000)).astype(np.int32)
+        pay = rng.integers(-9, 9, 5000).astype(np.int32)
+        order = np.lexsort((pay, keys))
+        t = make_table(keys[order], pay[order])
+        gs = sort_aggregate(
+            make_table(keys, pay), compaction="sort", with_distinct=True
+        )
+        ga = aggregate_sorted(
+            t, payload_sorted=True, with_distinct=True, check=True,
+            compaction="sort",
+        )
+        num = int(gs.num_groups)
+        assert num == int(ga.num_groups)
+        for field in ("keys", "count", "sum", "min", "max", "distinct"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(gs, field))[:num],
+                np.asarray(getattr(ga, field))[:num],
+                err_msg=field,
+            )
+        # check=True must reject key-sorted-only input
+        bad = make_table(
+            np.array([1, 1, 2], np.int32), np.array([5, 3, 1], np.int32)
+        )
+        with pytest.raises(ValueError, match="not ascending"):
+            aggregate_sorted(
+                bad, payload_sorted=True, check=True, compaction="sort"
+            )
+        # distinct without payload order must refuse, not miscount
+        with pytest.raises(ValueError, match="payload_sorted"):
+            aggregate_sorted(t, with_distinct=True, compaction="sort")
+
+    def test_materializer_payload_sorted_feeds_it(self):
+        from partitionedhashjoin_tpu.ops.aggregate import aggregate_sorted
+        from partitionedhashjoin_tpu.ops.merge_join import (
+            two_run_materialize,
+        )
+
+        rng = np.random.default_rng(58)
+        a_keys = np.arange(1, 101, dtype=np.int32)
+        b_keys = rng.integers(1, 131, 3000).astype(np.int32)
+        b_pay = rng.integers(-50, 50, 3000).astype(np.int32)
+        keys, pa, pb, count = two_run_materialize(
+            jnp.asarray(a_keys), jnp.asarray(a_keys * 2),
+            jnp.asarray(b_keys), jnp.asarray(b_pay), interpret=True,
+            probe_payload_sorted=True,
+        )
+        g = aggregate_sorted(
+            make_table(keys, pb), n_valid=count, payload_sorted=True,
+            check=True, with_distinct=True, compaction="sort",
+        )
+        sel = b_keys <= 100
+        num = int(g.num_groups)
+        np.testing.assert_array_equal(
+            np.asarray(g.keys)[:num], np.unique(b_keys[sel])
+        )
+        for i, k in enumerate(np.asarray(g.keys)[:num]):
+            m = sel & (b_keys == k)
+            assert int(g.count[i]) == m.sum()
+            assert int(g.min[i]) == b_pay[m].min()
+            assert int(g.max[i]) == b_pay[m].max()
+            assert int(g.distinct[i]) == len(np.unique(b_pay[m]))

@@ -223,3 +223,17 @@ class TestStagedPipelineLowering:
             ),
             S((n,), jnp.int32), S((n,), jnp.int32),
         )
+
+    def test_aggregate_sorted_program(self):
+        from partitionedhashjoin_tpu.ops.aggregate import (
+            _aggregate_sorted_impl,
+        )
+
+        n = 500_000
+        _lowers(
+            lambda k, p, v: _aggregate_sorted_impl(
+                k, p, 4096, n_valid_in=v, has_nvalid=True,
+                kernel_compaction=True,
+            ),
+            S((n,), jnp.int32), S((n,), jnp.int32), S((), jnp.int32),
+        )
