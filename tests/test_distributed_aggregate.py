@@ -1,0 +1,159 @@
+"""Distributed GROUP BY (parallel/aggregate_shuffle.py) on the 8-device
+virtual CPU mesh: must agree with the single-device sort aggregate as a
+key → aggregates map, across skew, padding, and forced capacity retries.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.data.table import make_table
+from partitionedhashjoin_tpu.ops.aggregate import sort_aggregate
+from partitionedhashjoin_tpu.ops.generators import zipf_table
+from partitionedhashjoin_tpu.parallel.aggregate_shuffle import (
+    DistributedAggregateOperator,
+)
+from partitionedhashjoin_tpu.parallel.mesh import make_mesh
+
+
+def _as_map(g):
+    num = int(g.num_groups)
+    out = {}
+    for i in range(num):
+        out[int(g.keys[i])] = (
+            int(g.count[i]), int(g.sum[i]), int(g.min[i]), int(g.max[i])
+        )
+    return out
+
+
+def _check_against_local(table, dist, **kw):
+    g_local = sort_aggregate(table, compaction="sort")
+    g_dist = dist.run(table, **kw)
+    assert int(g_dist.num_groups) == int(g_local.num_groups)
+    assert _as_map(g_dist) == _as_map(g_local)
+
+
+class TestDistributedAggregate:
+    def test_matches_local_random(self):
+        rng = np.random.default_rng(61)
+        keys = rng.integers(0, 200, 4096).astype(np.int32)
+        pay = rng.integers(-1000, 1000, 4096).astype(np.int32)
+        mesh = make_mesh()
+        _check_against_local(
+            make_table(keys, pay), DistributedAggregateOperator(mesh, seed=3)
+        )
+
+    def test_zipf_hot_keys_stay_balanced_partials(self):
+        # the combiner makes a hot key ONE partial per shard; a heavy head
+        # must aggregate exactly without any capacity explosion
+        b = zipf_table(16384, alpha=1.25, key_range=(1, 300), seed=9)
+        keys = np.asarray(b.keys)
+        pay = np.asarray(b.payloads)
+        mesh = make_mesh()
+        _check_against_local(
+            make_table(keys, pay), DistributedAggregateOperator(mesh, seed=5)
+        )
+
+    def test_non_divisible_rows_padding(self):
+        rng = np.random.default_rng(62)
+        n = 1003  # not divisible by 8; padded rows must not form groups
+        keys = rng.integers(0, 50, n).astype(np.int32)
+        pay = rng.integers(-100, 100, n).astype(np.int32)
+        mesh = make_mesh()
+        _check_against_local(
+            make_table(keys, pay), DistributedAggregateOperator(mesh, seed=7)
+        )
+
+    def test_genuine_zero_key_group(self):
+        # padding also writes key 0 — a real key-0 group must stay exact
+        rng = np.random.default_rng(63)
+        n = 777
+        keys = np.zeros(n, np.int32)
+        keys[: n // 2] = rng.integers(1, 20, n // 2)
+        pay = rng.integers(-5, 5, n).astype(np.int32)
+        mesh = make_mesh()
+        _check_against_local(
+            make_table(keys, pay), DistributedAggregateOperator(mesh, seed=11)
+        )
+
+    def test_capacity_overflow_retries_to_exact(self):
+        # 700 distinct keys over 8 shards with a tiny capacity hint: the
+        # local combiner must overflow, retry with doubled capacity, and
+        # still land exact
+        rng = np.random.default_rng(64)
+        keys = rng.permutation(np.repeat(
+            np.arange(700, dtype=np.int32), 4
+        ))
+        pay = rng.integers(-100, 100, keys.size).astype(np.int32)
+        mesh = make_mesh()
+        dist = DistributedAggregateOperator(mesh, seed=13, slack=1.0)
+        _check_against_local(
+            make_table(keys, pay), dist, group_capacity=2
+        )
+
+    def test_sums_wrap_mod_2_32_like_local(self):
+        keys = np.repeat(np.arange(4, dtype=np.int32), 512)
+        pay = np.full(keys.size, 2**30, np.int32)
+        mesh = make_mesh()
+        _check_against_local(
+            make_table(keys, pay), DistributedAggregateOperator(mesh, seed=17)
+        )
+
+    def test_empty_and_wide_dtype(self):
+        mesh = make_mesh()
+        dist = DistributedAggregateOperator(mesh, seed=19)
+        g = dist.run(make_table(np.zeros(0, np.int32), np.zeros(0, np.int32)))
+        assert int(g.num_groups) == 0
+        import jax as _jax
+
+        with _jax.enable_x64(True):
+            t = make_table(np.zeros(8, np.int32), np.zeros(8, np.int32))
+            t = type(t)(
+                keys=jnp.asarray(t.keys, jnp.int32),
+                payloads=jnp.asarray(np.zeros(8, np.int64)),
+            )
+            with pytest.raises(TypeError, match="int32-only"):
+                dist.run(t)
+
+
+class TestDistributedTopK:
+    def test_matches_local_top_k(self):
+        from partitionedhashjoin_tpu.ops.order_by import top_k
+        from partitionedhashjoin_tpu.parallel.top_k import distributed_top_k
+
+        rng = np.random.default_rng(71)
+        keys = rng.permutation(4096).astype(np.int32) - 2048
+        pay = keys * 5
+        t = make_table(keys, pay)
+        mesh = make_mesh()
+        for by, desc in (("key", True), ("key", False),
+                         ("payload", True), ("payload", False)):
+            d = distributed_top_k(mesh, t, 12, by=by, descending=desc)
+            l = top_k(t, 12, by=by, descending=desc)
+            np.testing.assert_array_equal(
+                np.asarray(d.keys), np.asarray(l.keys), err_msg=f"{by}{desc}"
+            )
+            np.testing.assert_array_equal(
+                np.asarray(d.payloads), np.asarray(l.payloads)
+            )
+
+    def test_padding_rows_never_surface(self):
+        from partitionedhashjoin_tpu.parallel.top_k import distributed_top_k
+
+        # n=9: pads with key 0; ascending top-k must not return pad zeros
+        keys = np.arange(10, 19, dtype=np.int32)
+        t = make_table(keys, keys.copy())
+        mesh = make_mesh()
+        d = distributed_top_k(mesh, t, 1, by="key", descending=False)
+        assert np.asarray(d.keys).tolist() == [10]
+
+    def test_validation(self):
+        from partitionedhashjoin_tpu.parallel.top_k import distributed_top_k
+
+        t = make_table(np.arange(64, dtype=np.int32),
+                       np.arange(64, dtype=np.int32))
+        mesh = make_mesh()
+        with pytest.raises(ValueError, match="per-shard"):
+            distributed_top_k(mesh, t, 20)
+        with pytest.raises(ValueError, match="positive"):
+            distributed_top_k(mesh, t, 0)
