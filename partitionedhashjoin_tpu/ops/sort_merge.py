@@ -202,11 +202,20 @@ def sort_merge_materialize(
     return keys_out, pay_a, pay_b, count
 
 
-def _match_probe_rows(build_keys, probe_keys, build_payloads=None):
+def _match_probe_rows(build_keys, probe_keys, build_payloads=None,
+                      build_valid=None):
     """(hit, build_row[, pay_a]) per probe row: whether its key exists
     among build keys and, if so, the matching build row (latest in sorted
     order — deterministic; the reference's ``Get`` picks an arbitrary
     chain-order first match, HashJoin.hpp:159-180).
+
+    ``build_valid`` masks build rows out of the match without moving them:
+    an invalid build row is re-tagged as probe-like (it no longer feeds the
+    forward fill) and its tiebreak row index is offset past every real
+    probe row, so the placement slice can never pick it up.  Filters over
+    the build relation therefore compose with the materializer as masks —
+    no compaction pass, no sentinel keys (exact over the full int32/int64
+    key domain).
 
     Movement-wise everything rides sorts and streaming scans (primitive
     table, docs/PERFORMANCE.md): the round-2 formulation paid a
@@ -234,14 +243,22 @@ def _match_probe_rows(build_keys, probe_keys, build_payloads=None):
     keys = jnp.concatenate(
         [jnp.asarray(build_keys, dtype), jnp.asarray(probe_keys, dtype)]
     )
+    build_row_ids = jnp.arange(n_a, dtype=jnp.int32)
+    if build_valid is None:
+        build_flags = jnp.ones((n_a,), jnp.bool_)
+    else:
+        build_flags = jnp.asarray(build_valid, jnp.bool_)
+        # invalid build rows act as probe-like spectators; row ids past n_b
+        # keep the 3-key comparator deterministic AND keep them out of the
+        # placement slice (real probe rows occupy exactly [0, n_b))
+        build_row_ids = jnp.where(
+            build_flags, build_row_ids, jnp.int32(n_b) + build_row_ids
+        )
     is_build = jnp.concatenate(
-        [jnp.ones((n_a,), jnp.bool_), jnp.zeros((n_b,), jnp.bool_)]
+        [build_flags, jnp.zeros((n_b,), jnp.bool_)]
     )
     orig_row = jnp.concatenate(
-        [
-            jnp.arange(n_a, dtype=jnp.int32),
-            jnp.arange(n_b, dtype=jnp.int32),
-        ]
+        [build_row_ids, jnp.arange(n_b, dtype=jnp.int32)]
     )
     with_pay = build_payloads is not None
     # num_keys=3 keeps full determinism without stability: within a key,
@@ -300,7 +317,8 @@ def _match_probe_rows(build_keys, probe_keys, build_payloads=None):
 
 @functools.partial(jax.jit, static_argnames=("join_type",))
 def _materialize_typed(
-    build_keys, build_payloads, probe_keys, probe_payloads, join_type: str
+    build_keys, build_payloads, probe_keys, probe_payloads, join_type: str,
+    build_valid=None, probe_valid=None,
 ):
     """Materialized join, all probe-side variants of the reference's
     Get-semantics probe (HashJoin.hpp:144-180) plus the standard relational
@@ -320,48 +338,113 @@ def _materialize_typed(
 
     Returns (keys, pay_a, pay_b, matched, count); rows beyond ``count``
     are zero padding (static shapes — XLA compaction idiom).
+
+    ``build_valid`` / ``probe_valid`` fold upstream FILTERS into the join
+    as masks (the query layer's rule: filters never materialize an
+    intermediate): an invalid build row can never be matched
+    (``_match_probe_rows`` re-tags it), and an invalid probe row is
+    excluded from every variant's output — for ``left``/``full`` the probe
+    block is then compacted to the valid rows (the filtered relation IS
+    the left side, so dropped rows simply do not exist in it).
     """
     if join_type not in ("inner", "semi", "anti", "left", "full"):
         raise ValueError(f"unknown join_type {join_type!r}")
     n_b = probe_keys.shape[0]
     hit, _, pay_matched = _match_probe_rows(
-        build_keys, probe_keys, jnp.asarray(build_payloads)
+        build_keys, probe_keys, jnp.asarray(build_payloads),
+        build_valid=build_valid,
     )
+    pv = (
+        None if probe_valid is None
+        else jnp.asarray(probe_valid, jnp.bool_)
+    )
+    if pv is not None:
+        hit = hit & pv
+    from partitionedhashjoin_tpu.ops.filter import compact_sort
+
     if join_type == "left":
-        return (
+        if pv is None:
+            return (
+                jnp.asarray(probe_keys),
+                pay_matched,
+                jnp.asarray(probe_payloads),
+                hit,
+                jnp.asarray(n_b, jnp.int32),
+            )
+        count, keys_out, pay_a, pay_b, matched = compact_sort(
+            pv,
             jnp.asarray(probe_keys),
             pay_matched,
             jnp.asarray(probe_payloads),
-            hit,
-            jnp.asarray(n_b, jnp.int32),
+            hit.astype(jnp.int32),
+        )
+        live = jnp.arange(n_b, dtype=jnp.int32) < count
+        return (
+            jnp.where(live, keys_out, 0),
+            jnp.where(live, pay_a, 0),
+            jnp.where(live, pay_b, 0),
+            jnp.where(live, matched > 0, False),
+            count,
         )
     if join_type == "full":
-        from partitionedhashjoin_tpu.ops.filter import compact_sort
-
         n_a = build_keys.shape[0]
-        # reversed match: which BUILD rows found no probe partner (duplicate
-        # unmatched build keys all appear — full-outer multiplicity)
-        hit_b, _ = _match_probe_rows(probe_keys, build_keys)
-        count_b, k_b, p_b = compact_sort(
-            ~hit_b, jnp.asarray(build_keys), jnp.asarray(build_payloads)
+        # reversed match: which BUILD rows found no (valid) probe partner
+        # (duplicate unmatched build keys all appear — full-outer
+        # multiplicity); probe_valid masks the reversed build side
+        hit_b, _ = _match_probe_rows(
+            probe_keys, build_keys, build_valid=pv
         )
-        live_b = jnp.arange(n_a, dtype=jnp.int32) < count_b
-        zero_b = jnp.zeros((n_a,), jnp.asarray(probe_payloads).dtype)
+        keep_b = ~hit_b
+        if build_valid is not None:
+            keep_b = keep_b & jnp.asarray(build_valid, jnp.bool_)
+        if pv is None:
+            count_b, k_b, p_b = compact_sort(
+                keep_b, jnp.asarray(build_keys), jnp.asarray(build_payloads)
+            )
+            live_b = jnp.arange(n_a, dtype=jnp.int32) < count_b
+            zero_b = jnp.zeros((n_a,), jnp.asarray(probe_payloads).dtype)
+            return (
+                jnp.concatenate(
+                    [jnp.asarray(probe_keys), jnp.where(live_b, k_b, 0)]
+                ),
+                jnp.concatenate([pay_matched, jnp.where(live_b, p_b, 0)]),
+                jnp.concatenate([jnp.asarray(probe_payloads), zero_b]),
+                jnp.concatenate([hit, jnp.zeros((n_a,), jnp.bool_)]),
+                jnp.asarray(n_b, jnp.int32) + count_b,
+            )
+        # filtered probe side: one combined stable compaction keeps the
+        # [valid probe block, unmatched build block] contract with no gap
+        keep_cat = jnp.concatenate([pv, keep_b])
+        keys_cat = jnp.concatenate(
+            [jnp.asarray(probe_keys), jnp.asarray(build_keys)]
+        )
+        pay_a_cat = jnp.concatenate([pay_matched, jnp.asarray(build_payloads)])
+        pay_b_cat = jnp.concatenate(
+            [
+                jnp.asarray(probe_payloads),
+                jnp.zeros((n_a,), jnp.asarray(probe_payloads).dtype),
+            ]
+        )
+        matched_cat = jnp.concatenate([hit, jnp.zeros((n_a,), jnp.bool_)])
+        count, keys_out, pay_a, pay_b, matched = compact_sort(
+            keep_cat, keys_cat, pay_a_cat, pay_b_cat,
+            matched_cat.astype(jnp.int32),
+        )
+        live = jnp.arange(n_a + n_b, dtype=jnp.int32) < count
         return (
-            jnp.concatenate(
-                [jnp.asarray(probe_keys), jnp.where(live_b, k_b, 0)]
-            ),
-            jnp.concatenate([pay_matched, jnp.where(live_b, p_b, 0)]),
-            jnp.concatenate([jnp.asarray(probe_payloads), zero_b]),
-            jnp.concatenate([hit, jnp.zeros((n_a,), jnp.bool_)]),
-            jnp.asarray(n_b, jnp.int32) + count_b,
+            jnp.where(live, keys_out, 0),
+            jnp.where(live, pay_a, 0),
+            jnp.where(live, pay_b, 0),
+            jnp.where(live, matched > 0, False),
+            count,
         )
-    keep = ~hit if join_type == "anti" else hit
+    if join_type == "anti":
+        keep = ~hit if pv is None else (~hit & pv)
+    else:
+        keep = hit
     # stable compaction via one 2-key value-carrying sort (~8 ns/el for 4
     # columns vs 8.6 ns/el PER scatter-set column with ``compact``), then
     # an explicit zero tail to keep the padded contract
-    from partitionedhashjoin_tpu.ops.filter import compact_sort
-
     count, keys_out, pay_a, pay_b, matched = compact_sort(
         keep,
         jnp.asarray(probe_keys),
@@ -382,10 +465,12 @@ def _materialize_typed(
 def sort_merge_materialize_typed(
     build_keys, build_payloads, probe_keys, probe_payloads,
     join_type: str = "inner",
+    build_valid=None, probe_valid=None,
 ):
     """Public typed materializer — see ``_materialize_typed``."""
     return _materialize_typed(
-        build_keys, build_payloads, probe_keys, probe_payloads, join_type
+        build_keys, build_payloads, probe_keys, probe_payloads, join_type,
+        build_valid=build_valid, probe_valid=probe_valid,
     )
 
 

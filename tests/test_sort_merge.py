@@ -337,3 +337,85 @@ def test_full_outer_fuzz_oracle():
         assert got == want
         assert not pb[n_b:].any() and not matched[n_b:].any()
         assert not keys[int(count):].any() and not pa[int(count):].any()
+
+
+def test_materialize_typed_masked_fuzz():
+    """Validity masks on the typed materializer vs a host oracle: filters
+    fold into the join as masks (the query layer's no-materialized-filter
+    rule) — an invalid build row never matches, an invalid probe row is
+    absent from every variant, and left/full compact their probe block to
+    the valid rows."""
+    from partitionedhashjoin_tpu.ops.sort_merge import (
+        sort_merge_materialize_typed,
+    )
+
+    rng = np.random.default_rng(411)
+    for trial in range(5):
+        n_a = int(rng.integers(1, 50))
+        n_b = int(rng.integers(1, 80))
+        build = rng.integers(0, 20, n_a).astype(np.int32)
+        bpay = rng.integers(1, 10**6, n_a).astype(np.int32)
+        probe = rng.integers(0, 25, n_b).astype(np.int32)
+        ppay = rng.integers(1, 10**6, n_b).astype(np.int32)
+        bv = rng.random(n_a) < 0.6
+        pv = rng.random(n_b) < 0.6
+        if trial == 4:  # all-invalid edge
+            bv[:] = False
+        for use_bv in (True, False):
+            for use_pv in (True, False):
+                ebv = bv if use_bv else np.ones(n_a, bool)
+                epv = pv if use_pv else np.ones(n_b, bool)
+                # oracle: first-match = HIGHEST-index valid build row per key
+                pay_of = {}
+                for i in range(n_a):
+                    if ebv[i]:
+                        pay_of[int(build[i])] = int(bpay[i])
+                vp = [
+                    (int(probe[i]), int(ppay[i]), int(probe[i]) in pay_of)
+                    for i in range(n_b) if epv[i]
+                ]
+                valid_probe_keys = {k for k, _, _ in vp}
+                unmatched_b = [
+                    (int(build[i]), int(bpay[i]))
+                    for i in range(n_a)
+                    if ebv[i] and int(build[i]) not in valid_probe_keys
+                ]
+                expect = {
+                    "inner": [(k, pay_of[k], p, True) for k, p, h in vp if h],
+                    "anti": [(k, 0, p, False) for k, p, h in vp if not h],
+                    "left": [
+                        (k, pay_of.get(k, 0) if h else 0, p, h)
+                        for k, p, h in vp
+                    ],
+                }
+                expect["semi"] = expect["inner"]
+                expect["full"] = expect["left"] + [
+                    (k, pa, 0, False) for k, pa in unmatched_b
+                ]
+                for jt, rows in expect.items():
+                    keys, pa, pb, matched, count = (
+                        sort_merge_materialize_typed(
+                            jnp.asarray(build), jnp.asarray(bpay),
+                            jnp.asarray(probe), jnp.asarray(ppay), jt,
+                            build_valid=(
+                                jnp.asarray(ebv) if use_bv else None
+                            ),
+                            probe_valid=(
+                                jnp.asarray(epv) if use_pv else None
+                            ),
+                        )
+                    )
+                    c = int(count)
+                    assert c == len(rows), (jt, use_bv, use_pv, trial)
+                    got = list(
+                        zip(
+                            np.asarray(keys)[:c].tolist(),
+                            np.asarray(pa)[:c].tolist(),
+                            np.asarray(pb)[:c].tolist(),
+                            np.asarray(matched)[:c].tolist(),
+                        )
+                    )
+                    assert got == rows, (jt, use_bv, use_pv, trial)
+                    # zero tail past count
+                    assert not np.asarray(keys)[c:].any(), jt
+                    assert not np.asarray(matched)[c:].any(), jt
