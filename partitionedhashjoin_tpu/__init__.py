@@ -74,6 +74,8 @@ def __getattr__(name):
             "partitionedhashjoin_tpu.ops.sort",
             "radix_sort_table",
         ),
+        "scan": ("partitionedhashjoin_tpu.query", "scan"),
+        "Query": ("partitionedhashjoin_tpu.query", "Query"),
     }
     if name in lazy:
         import importlib

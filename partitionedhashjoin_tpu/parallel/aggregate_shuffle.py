@@ -258,7 +258,12 @@ class DistributedAggregateOperator:
         self,
         table: Table,
         group_capacity: Optional[int] = None,
+        mask=None,
     ) -> GroupByResult:
+        """``mask``: optional per-row validity (a pushed-down FILTER — the
+        query layer's R2 rule); masked-out rows are excluded exactly, via
+        the same validity column that already absorbs the shard padding,
+        so a distributed filter→GROUP BY costs zero extra passes."""
         if table.keys.dtype != jnp.int32 or table.payloads.dtype != jnp.int32:
             raise TypeError(
                 "distributed aggregate is int32-only (keys "
@@ -280,6 +285,17 @@ class DistributedAggregateOperator:
             keys = jnp.concatenate([keys, jnp.zeros((pad,), keys.dtype)])
             pays = jnp.concatenate([pays, jnp.zeros((pad,), pays.dtype)])
         valid = jnp.arange(padded, dtype=jnp.int32) < n
+        if mask is not None:
+            m = jnp.asarray(mask, jnp.bool_)
+            if m.shape != (n,):
+                raise ValueError(
+                    f"mask shape {m.shape} must match table rows ({n},)"
+                )
+            if padded != n:
+                m = jnp.concatenate(
+                    [m, jnp.zeros((padded - n,), jnp.bool_)]
+                )
+            valid = valid & m
         per_shard = padded // s
         hint = per_shard if group_capacity is None else min(
             group_capacity, per_shard

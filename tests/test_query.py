@@ -1,0 +1,406 @@
+"""Query-layer tests: fluent plans, physical rewrites, and mesh execution.
+
+Every executed plan is checked against either a direct operator call or a
+host-side numpy oracle.  Kernel-path (interpret-mode Pallas) tests reuse
+the (100, 3000, probe_payload_sorted=True) shape already compiled by
+test_operators.py — shape discipline per CLAUDE.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from partitionedhashjoin_tpu.data.table import JoinedTable, Table, make_table
+from partitionedhashjoin_tpu.query import (
+    PlanError,
+    TableResult,
+    group_top_k,
+    scan,
+)
+
+
+def _t(keys, pays):
+    return make_table(
+        np.asarray(keys, np.int32), np.asarray(pays, np.int32)
+    )
+
+
+def _rand_tables(seed, n_a=80, n_b=400, key_hi=40):
+    rng = np.random.default_rng(seed)
+    a = _t(rng.integers(0, key_hi, n_a), rng.integers(1, 1000, n_a))
+    b = _t(
+        rng.integers(0, key_hi + 10, n_b), rng.integers(-500, 500, n_b)
+    )
+    return a, b, rng
+
+
+def _np_group(keys, pays, with_distinct=False):
+    """key -> (count, sum mod 2^32 as int32, min, max[, distinct])."""
+    out = {}
+    for k, p in zip(keys.tolist(), pays.tolist()):
+        c, s, mn, mx, dv = out.get(k, (0, 0, None, None, set()))
+        mn = p if mn is None else min(mn, p)
+        mx = p if mx is None else max(mx, p)
+        dv = dv | {p}
+        out[k] = (c + 1, np.int32(np.int64(s) + p), mn, mx, dv)
+    return {
+        k: (c, int(s), mn, mx) + ((len(dv),) if with_distinct else ())
+        for k, (c, s, mn, mx, dv) in out.items()
+    }
+
+
+def _group_dict(g, with_distinct=False):
+    n = int(g.num_groups)
+    out = {}
+    for i in range(n):
+        out[int(np.asarray(g.keys)[i])] = (
+            int(np.asarray(g.count)[i]),
+            int(np.asarray(g.sum)[i]),
+            int(np.asarray(g.min)[i]),
+            int(np.asarray(g.max)[i]),
+        ) + (
+            (int(np.asarray(g.distinct)[i]),) if with_distinct else ()
+        )
+    return out
+
+
+class TestValidation:
+    def test_plan_errors(self):
+        t = _t([1, 2], [3, 4])
+        q = scan(t)
+        with pytest.raises(PlanError):
+            scan("nope")
+        with pytest.raises(PlanError):
+            q.join("nope")
+        with pytest.raises(PlanError):
+            q.join(q, join_type="cross")
+        with pytest.raises(PlanError):
+            q.join(q, carry="both")
+        with pytest.raises(PlanError):
+            q.order_by("sum")  # table stage: key/payload only
+        with pytest.raises(PlanError):
+            q.group_by().order_by("payload")  # group stage col set
+        with pytest.raises(PlanError):
+            q.limit(0)
+        with pytest.raises(PlanError):
+            q.limit(3).limit(4)
+        with pytest.raises(PlanError):
+            q.order_by("key").filter(lambda k, p: k > 0)
+        with pytest.raises(PlanError):
+            q.group_by().group_by()
+        with pytest.raises(PlanError):
+            q.order_by("key").join(q)
+
+    def test_group_stage_detection(self):
+        t = _t([1, 2], [3, 4])
+        g = scan(t).group_by().order_by("count", descending=True)
+        with pytest.raises(PlanError):
+            g.group_by()
+
+
+class TestTableStage:
+    def test_scan_execute(self):
+        t = _t([5, 1, 7], [10, 20, 30])
+        r = scan(t).execute()
+        assert isinstance(r, TableResult)
+        assert int(r.count) == 3
+        assert np.asarray(r.table.keys).tolist() == [5, 1, 7]
+
+    def test_filter_execute_and_count(self):
+        a, b, _ = _rand_tables(3)
+        pred = lambda k, p: (p % 3 == 0) & (k < 30)
+        q = scan(b).filter(pred)
+        want = np.asarray(pred(b.keys, b.payloads))
+        assert q.count() == int(want.sum())
+        r = q.execute()
+        assert int(r.count) == int(want.sum())
+        got_k = np.asarray(r.table.keys)[: int(r.count)]
+        np.testing.assert_array_equal(got_k, np.asarray(b.keys)[want])
+        # stacked filters AND together
+        q2 = scan(b).filter(lambda k, p: p % 3 == 0).filter(
+            lambda k, p: k < 30
+        )
+        assert q2.count() == int(want.sum())
+
+    def test_order_by_limit_topk_vs_masked(self):
+        a, b, _ = _rand_tables(5)
+        # unmasked: lax.top_k path
+        r = scan(b).order_by("payload", descending=True).limit(7).execute()
+        want = np.sort(np.asarray(b.payloads))[::-1][:7]
+        np.testing.assert_array_equal(np.asarray(r.table.payloads), want)
+        # masked: validity-dominant sort path, exact under filters
+        pred = lambda k, p: k % 2 == 0
+        r2 = (
+            scan(b).filter(pred)
+            .order_by("payload", descending=False).limit(5).execute()
+        )
+        sel = np.asarray(b.payloads)[np.asarray(pred(b.keys, b.payloads))]
+        np.testing.assert_array_equal(
+            np.asarray(r2.table.payloads)[: int(r2.count)],
+            np.sort(sel)[:5],
+        )
+
+    def test_order_by_full_and_head_limit(self):
+        a, b, _ = _rand_tables(6, n_b=50)
+        r = scan(b).order_by("key").execute()
+        np.testing.assert_array_equal(
+            np.asarray(r.table.keys), np.sort(np.asarray(b.keys))
+        )
+        # limit without order: first k valid rows in original order
+        pred = lambda k, p: p > 0
+        r2 = scan(b).filter(pred).limit(4).execute()
+        sel = np.asarray(pred(b.keys, b.payloads))
+        want = np.asarray(b.keys)[sel][:4]
+        np.testing.assert_array_equal(
+            np.asarray(r2.table.keys)[: int(r2.count)], want
+        )
+
+
+class TestJoins:
+    @pytest.mark.parametrize(
+        "jt", ["inner", "semi", "anti", "left", "full"]
+    )
+    def test_join_execute_matches_direct(self, jt):
+        from partitionedhashjoin_tpu.ops.sort_merge import (
+            sort_merge_materialize_typed,
+        )
+
+        a, b, _ = _rand_tables(11)
+        bp = lambda k, p: p % 2 == 0
+        pp = lambda k, p: k % 3 != 0
+        q = scan(b).filter(pp).join(scan(a).filter(bp), join_type=jt)
+        out = q.execute()
+        assert isinstance(out, JoinedTable)
+        keys, pa, pb, matched, count = sort_merge_materialize_typed(
+            a.keys, a.payloads, b.keys, b.payloads, jt,
+            build_valid=bp(a.keys, a.payloads),
+            probe_valid=pp(b.keys, b.payloads),
+        )
+        assert int(out.count) == int(count)
+        np.testing.assert_array_equal(np.asarray(out.keys), np.asarray(keys))
+        np.testing.assert_array_equal(
+            np.asarray(out.payloads_a), np.asarray(pa)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.payloads_b), np.asarray(pb)
+        )
+        # .count() agrees without materializing (R1)
+        assert q.count() == int(count)
+
+    def test_join_count_oracle(self):
+        a, b, _ = _rand_tables(13)
+        ak = set(np.asarray(a.keys).tolist())
+        bk = np.asarray(b.keys)
+        hits = int(sum(1 for k in bk.tolist() if k in ak))
+        q = scan(b).join(scan(a))
+        assert q.count() == hits
+        assert scan(b).join(scan(a), join_type="anti").count() == (
+            len(bk) - hits
+        )
+        assert scan(b).join(scan(a), join_type="left").count() == len(bk)
+        unmatched_a = int(
+            sum(1 for k in np.asarray(a.keys).tolist()
+                if k not in set(bk.tolist()))
+        )
+        assert scan(b).join(scan(a), join_type="full").count() == (
+            len(bk) + unmatched_a
+        )
+
+    def test_join_carry_then_order(self):
+        a, b, _ = _rand_tables(17, n_a=30, n_b=60, key_hi=20)
+        # carry build payload downstream, then top-k by it
+        r = (
+            scan(b).join(scan(a), carry="build")
+            .order_by("payload", descending=True).limit(3).execute()
+        )
+        from partitionedhashjoin_tpu.ops.sort_merge import (
+            sort_merge_materialize_typed,
+        )
+
+        keys, pa, pb, matched, count = sort_merge_materialize_typed(
+            a.keys, a.payloads, b.keys, b.payloads, "inner"
+        )
+        pa = np.asarray(pa)[: int(count)]
+        want = np.sort(pa)[::-1][:3]
+        np.testing.assert_array_equal(
+            np.asarray(r.table.payloads)[: int(r.count)], want
+        )
+
+
+class TestGroupBy:
+    def test_scan_group_by(self):
+        a, b, _ = _rand_tables(19)
+        g = scan(b).group_by(with_distinct=True).execute()
+        want = _np_group(
+            np.asarray(b.keys), np.asarray(b.payloads), with_distinct=True
+        )
+        got = _group_dict(g, with_distinct=True)
+        assert got == want
+
+    def test_filter_group_by_staged(self):
+        a, b, _ = _rand_tables(23)
+        pred = lambda k, p: p > 0
+        g = scan(b).filter(pred).group_by().execute()
+        sel = np.asarray(pred(b.keys, b.payloads))
+        want = _np_group(
+            np.asarray(b.keys)[sel], np.asarray(b.payloads)[sel]
+        )
+        assert _group_dict(g) == want
+
+    def test_join_group_by_typed_path(self):
+        # probe-side filter forces the typed materializer path
+        a, b, _ = _rand_tables(29, n_a=40, n_b=300, key_hi=30)
+        pred = lambda k, p: p != 0
+        g = (
+            scan(b).filter(pred).join(scan(a), carry="probe")
+            .group_by().execute()
+        )
+        ak = set(np.asarray(a.keys).tolist())
+        sel = np.asarray(pred(b.keys, b.payloads))
+        keys = np.asarray(b.keys)[sel]
+        pays = np.asarray(b.payloads)[sel]
+        m = np.isin(keys, list(ak))
+        want = _np_group(keys[m], pays[m])
+        assert _group_dict(g) == want
+
+    def test_join_group_by_kernel_path_interpret(self):
+        """R3: the kernel materializer + aggregate_sorted plan (reuses the
+        (100, 3000) interpret shape from test_operators.py)."""
+        rng = np.random.default_rng(58)
+        a = _t(np.arange(1, 101), np.arange(1, 101) * 2)
+        b = _t(
+            rng.integers(1, 131, 3000), rng.integers(-50, 50, 3000)
+        )
+        q = scan(b).join(scan(a)).group_by()
+        text = q.explain(interpret=True)
+        assert "R3" in text and "aggregate_sorted" in text
+        g = q.execute(interpret=True)
+        bk, bp = np.asarray(b.keys), np.asarray(b.payloads)
+        m = bk <= 100
+        want = _np_group(bk[m], bp[m])
+        assert _group_dict(g) == want
+
+    def test_group_order_limit(self):
+        a, b, _ = _rand_tables(31, n_b=500, key_hi=25)
+        q = scan(b).group_by()
+        want = _np_group(np.asarray(b.keys), np.asarray(b.payloads))
+        # top-3 by count desc (lax.top_k fast path)
+        top = q.order_by("count", descending=True).limit(3).execute()
+        assert int(top.num_groups) == 3
+        counts = sorted((c for c, *_ in want.values()), reverse=True)[:3]
+        assert np.asarray(top.count)[:3].tolist() == counts
+        # ascending sum (validity-dominant sort path), all groups
+        asc = q.order_by("sum").execute()
+        n = int(asc.num_groups)
+        sums = np.asarray(asc.sum)[:n]
+        assert sums.tolist() == sorted(s for _, s, _, _ in want.values())
+        # order by min, limit beyond group count clamps
+        k = len(want) + 5
+        lim = q.order_by("min", descending=True).limit(k).execute()
+        assert int(lim.num_groups) == len(want)
+
+    def test_group_top_k_truncation_guard(self):
+        """Rows past num_groups must never be selected, whatever their
+        content."""
+        from partitionedhashjoin_tpu.ops.aggregate import GroupByResult
+
+        g = GroupByResult(
+            keys=jnp.asarray([5, 9, 1234], jnp.int32),
+            count=jnp.asarray([2, 1, 999], jnp.int32),
+            sum=jnp.asarray([10, 20, 888], jnp.int32),
+            min=jnp.asarray([1, 2, -999], jnp.int32),
+            max=jnp.asarray([9, 20, 999], jnp.int32),
+            num_groups=jnp.asarray(2, jnp.int32),
+            group_of_row=jnp.zeros((3,), jnp.int32),
+        )
+        top = group_top_k(g, 3, by="count", descending=True)
+        assert int(top.num_groups) == 2
+        assert np.asarray(top.count)[:2].tolist() == [2, 1]
+        assert np.asarray(top.count)[2] == 0
+        low = group_top_k(g, 2, by="min", descending=False)
+        assert np.asarray(low.min)[:2].tolist() == [1, 2]
+
+    def test_count_terminal_on_groups(self):
+        a, b, _ = _rand_tables(37)
+        want = len(_np_group(np.asarray(b.keys), np.asarray(b.payloads)))
+        assert scan(b).group_by().count() == want
+        assert scan(b).group_by().limit(3).count() == 3
+
+
+class TestMesh:
+    @pytest.fixture(scope="class")
+    def mesh(self):
+        from partitionedhashjoin_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(8)
+
+    def test_mesh_filter_group_by(self, mesh):
+        rng = np.random.default_rng(41)
+        b = _t(rng.integers(0, 30, 640), rng.integers(-99, 99, 640))
+        pred = lambda k, p: p % 2 == 0
+        q = scan(b).filter(pred).group_by()
+        g = q.execute(mesh=mesh)
+        sel = np.asarray(pred(b.keys, b.payloads))
+        want = _np_group(
+            np.asarray(b.keys)[sel], np.asarray(b.payloads)[sel]
+        )
+        assert _group_dict(g) == want
+        # group-stage tail runs on the replicated result
+        top = q.order_by("count", descending=True).limit(2).execute(
+            mesh=mesh
+        )
+        counts = sorted((c for c, *_ in want.values()), reverse=True)[:2]
+        assert np.asarray(top.count)[:2].tolist() == counts
+
+    def test_mesh_join_count(self, mesh):
+        rng = np.random.default_rng(43)
+        a = _t(rng.integers(0, 50, 64), rng.integers(1, 9, 64))
+        b = _t(rng.integers(0, 60, 512), rng.integers(1, 9, 512))
+        ak = set(np.asarray(a.keys).tolist())
+        want = int(sum(1 for k in np.asarray(b.keys).tolist() if k in ak))
+        assert scan(b).join(scan(a)).count(mesh=mesh) == want
+        with pytest.raises(PlanError):
+            scan(b).filter(lambda k, p: p > 0).join(scan(a)).count(
+                mesh=mesh
+            )
+
+    def test_mesh_top_k(self, mesh):
+        rng = np.random.default_rng(47)
+        b = _t(rng.integers(0, 10**6, 512), rng.integers(0, 99, 512))
+        r = scan(b).order_by("key", descending=True).limit(5).execute(
+            mesh=mesh
+        )
+        want = np.sort(np.asarray(b.keys))[::-1][:5]
+        np.testing.assert_array_equal(np.asarray(r.table.keys), want)
+
+    def test_mesh_unsupported_shapes_raise(self, mesh):
+        t = _t([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8])
+        with pytest.raises(PlanError):
+            scan(t).join(scan(t)).group_by().execute(mesh=mesh)
+        with pytest.raises(PlanError):
+            scan(t).join(scan(t)).execute(mesh=mesh)
+        with pytest.raises(PlanError):
+            scan(t).group_by(with_distinct=True).execute(mesh=mesh)
+
+
+class TestExplain:
+    def test_explain_mentions_rules(self):
+        a, b, _ = _rand_tables(53)
+        q = (
+            scan(b).filter(lambda k, p: p > 0).join(scan(a))
+            .group_by().order_by("count", descending=True).limit(10)
+        )
+        text = q.explain()
+        assert text.splitlines()[0].startswith("physical plan")
+        assert "R2" in text  # filter as mask
+        assert "R4" in text  # top-k over groups
+        q2 = scan(b).filter(lambda k, p: p > 0).group_by()
+        assert "R5" in q2.explain()
+
+    def test_explain_does_not_execute(self):
+        boom = lambda k, p: (_ for _ in ()).throw(RuntimeError("no"))
+        t = _t([1], [2])
+        # predicate must not run during planning
+        text = scan(t).filter(boom).group_by().explain()
+        assert "filter" in text
