@@ -124,6 +124,39 @@ def main():
     log(f"oracle: {n1} groups, plans identical, top-1 count "
         f"{int(jax.device_get(hot1.keys)[0])}")
 
+    # the declarative layer must pick the ordered plan by itself (R3+R4)
+    # and add zero measurable overhead — same kernels, same results
+    from partitionedhashjoin_tpu.query import scan
+
+    ta = Table(keys=a_keys, payloads=a_pay)
+    tb = Table(keys=b_keys, payloads=b_pay)
+    q = (
+        scan(tb).join(scan(ta))
+        .group_by(group_capacity=cap)
+        .order_by("count", descending=True).limit(10)
+    )
+    plan_text = q.explain(interpret=INTERPRET)
+    log("query-layer plan:\n" + plan_text)
+    assert "R3" in plan_text, "planner must pick the ordered path"
+    topq = q.execute(interpret=INTERPRET)
+    sync((topq.keys, topq.count))
+    best_q = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        topq = q.execute(interpret=INTERPRET)
+        sync((topq.keys, topq.count))
+        best_q = min(best_q, time.perf_counter() - t0)
+    log(
+        f"join+group-by+top10 [query-layer]: {best_q*1e3:.0f} ms "
+        f"-> {N_B/best_q/1e6:.0f}M rows/s"
+    )
+    assert jax.device_get(topq.keys)[:10].tolist() == (
+        jax.device_get(hot1.payloads)[:10].tolist()
+    ), "query layer disagrees with the hand-built plan"
+    assert jax.device_get(topq.count)[:10].tolist() == (
+        jax.device_get(hot1.keys)[:10].tolist()
+    )
+
     best = results["ordered"][0]
     print(json.dumps({
         "metric": f"query_join_groupby_rows_per_s_{N_A}x{N_B}_skew{SKEW}",
@@ -132,6 +165,7 @@ def main():
         "vs_baseline": round(N_B / best / BASELINE_ROWS_PER_S, 3),
         "naive_resort_ms": round(results["naive-resort"][0] * 1e3),
         "ordered_ms": round(best * 1e3),
+        "query_layer_ms": round(best_q * 1e3),
     }))
 
 
