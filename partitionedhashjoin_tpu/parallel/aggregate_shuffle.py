@@ -118,6 +118,35 @@ def _merge_partials(key, cnt, sm, mn, mx, valid, cap: int):
     )
 
 
+def _route_and_merge_partials(g, p_valid, seed, cap_x: int, cap_merge: int):
+    """Inside ``shard_map``: hash-route this shard's partial aggregates to
+    their key's owner shard (streaming bucketize + ``all_to_all``) and merge
+    the received partials.  Returns (mk, mc, ms, mmn, mmx, m_num, dropped);
+    shared by the plain distributed GROUP BY and the join→GROUP BY
+    (parallel/join_aggregate.py), whose local stages differ but whose
+    partial plumbing is identical."""
+    num_shards = jax.lax.axis_size(SHARD_AXIS)
+    dest = hashing.bucket(hashing.hash32(g.keys, seed), num_shards)
+    bk, bc, bs, bmn, bmx, bv, dropped = _bucketize(
+        dest, p_valid, cap_x, num_shards,
+        g.keys, g.count, g.sum, g.min, g.max,
+    )
+
+    def a2a(x):
+        return jax.lax.all_to_all(
+            x.reshape(num_shards, -1),
+            SHARD_AXIS,
+            split_axis=0,
+            concat_axis=0,
+        ).reshape(-1)
+
+    rk, rc, rs, rmn, rmx, rv = map(a2a, (bk, bc, bs, bmn, bmx, bv))
+    mk, mc, ms, mmn, mmx, m_num = _merge_partials(
+        rk, rc, rs, rmn, rmx, rv, cap_merge
+    )
+    return mk, mc, ms, mmn, mmx, m_num, dropped
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "cap_local", "cap_x", "cap_merge"),
@@ -140,7 +169,6 @@ def _aggregate_exchange(
     per-shard merged group count."""
 
     def local(keys, pays, valid, shard_seed):
-        num_shards = jax.lax.axis_size(SHARD_AXIS)
         seed = shard_seed[0]
         g = _sort_group_and_aggregate(
             keys[0], pays[0], cap_local,
@@ -151,23 +179,8 @@ def _aggregate_exchange(
         local_need = g.num_groups
         slot = jnp.arange(cap_local, dtype=jnp.int32)
         p_valid = slot < g.num_groups
-        dest = hashing.bucket(hashing.hash32(g.keys, seed), num_shards)
-        bk, bc, bs, bmn, bmx, bv, dropped = _bucketize(
-            dest, p_valid, cap_x, num_shards,
-            g.keys, g.count, g.sum, g.min, g.max,
-        )
-
-        def a2a(x):
-            return jax.lax.all_to_all(
-                x.reshape(num_shards, -1),
-                SHARD_AXIS,
-                split_axis=0,
-                concat_axis=0,
-            ).reshape(-1)
-
-        rk, rc, rs, rmn, rmx, rv = map(a2a, (bk, bc, bs, bmn, bmx, bv))
-        mk, mc, ms, mmn, mmx, m_num = _merge_partials(
-            rk, rc, rs, rmn, rmx, rv, cap_merge
+        mk, mc, ms, mmn, mmx, m_num, dropped = _route_and_merge_partials(
+            g, p_valid, seed, cap_x, cap_merge
         )
         return (
             mk[None], mc[None], ms[None], mmn[None], mmx[None],

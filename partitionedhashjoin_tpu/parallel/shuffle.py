@@ -488,12 +488,14 @@ def _pipelined_probe(
     return out[0]
 
 
-def _searchsorted_counter(rka, rva):
-    """Pre-sorted membership counter for non-Mosaic backends: sort the
-    received build side ONCE (INT32_MAX mask protocol), count any probe
-    batch by one vectorized searchsorted.  Shared by the one-shot and
-    pipelined local joins so their comparison isolates exchange structure,
-    not local-join algorithm."""
+def _searchsorted_member(rka, rva):
+    """Sorted-set membership for a valid-masked key array: sort the set
+    ONCE (INT32_MAX mask protocol — invalid rows sort past a ``limit``
+    sentinel boundary), then answer any key batch with one vectorized
+    searchsorted.  A query equal to INT32_MAX itself is answered exactly
+    via the separate ``max_in_a`` flag (the set's masked region also holds
+    INT32_MAX, so the limit test alone cannot see a real one).  Callers
+    must mask the result by their own row validity."""
     i32_max = jnp.iinfo(jnp.int32).max
     a_eff = jnp.where(rva, rka, i32_max)
     a_sorted = jax.lax.sort((a_eff,), num_keys=1, is_stable=False)[0]
@@ -502,14 +504,24 @@ def _searchsorted_counter(rka, rva):
         a_sorted, jnp.asarray(i32_max, jnp.int32), side="left"
     )
 
-    def count(rk, rv):
-        b_eff = jnp.where(rv, rk, i32_max)
-        idx = jnp.searchsorted(a_sorted, b_eff, side="left")
+    def member(q):
+        idx = jnp.searchsorted(a_sorted, q, side="left")
         idxc = jnp.minimum(idx, a_sorted.shape[0] - 1)
-        hit = (a_sorted[idxc] == b_eff) & (idx < limit)
-        cnt = jnp.sum(hit.astype(jnp.int32))
-        n_max = jnp.sum((rv & (rk == i32_max)).astype(jnp.int32))
-        return cnt + jnp.where(max_in_a, n_max, 0)
+        hit = (a_sorted[idxc] == q) & (idx < limit)
+        return hit | (max_in_a & (q == i32_max))
+
+    return member
+
+
+def _searchsorted_counter(rka, rva):
+    """Pre-sorted membership counter for non-Mosaic backends: count a
+    valid-masked probe batch against the build set.  Shared by the
+    one-shot and pipelined local joins so their comparison isolates
+    exchange structure, not local-join algorithm."""
+    member = _searchsorted_member(rka, rva)
+
+    def count(rk, rv):
+        return jnp.sum((rv & member(rk)).astype(jnp.int32))
 
     return count
 

@@ -37,7 +37,9 @@ Physical rewrite rules (each measured in docs/PERFORMANCE.md):
       (``filter_sort_aggregate_staged``).
   R6  the same logical plan executes on a ``jax.sharding.Mesh``: GROUP BY
       maps to the combiner-plan distributed aggregate, count joins to the
-      shuffle join, ORDER BY … LIMIT to the distributed top-k.
+      shuffle join, ORDER BY … LIMIT to the distributed top-k, and
+      JOIN → GROUP BY to the one-shuffle join-aggregate (the join
+      exchange co-partitions the groups; parallel/join_aggregate.py).
 
 Everything here is host-side planning; all device work happens inside the
 operator modules this planner dispatches to.
@@ -576,21 +578,47 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
     wd = node.with_distinct
 
     if ctx.mesh is not None:
-        if isinstance(child, _Join):
-            raise PlanError(
-                "mesh join->group_by is not implemented; run single-device "
-                "or aggregate a pre-joined table"
-            )
-        inner = _exec_table(child, ctx, steps)
-        steps.append(
-            "group_by -> distributed combiner-plan aggregate (local "
-            "sort-aggregate, hash-routed partials, psum-exact) (R6)"
-        )
         if wd:
             raise PlanError(
                 "with_distinct is single-device only (the distributed "
                 "combiner merges partial distinct counts lossily)"
             )
+        if isinstance(child, _Join):
+            join = child
+            if (
+                join.join_type != "inner"
+                or not _join_is_plain(join)
+                or join.carry != "probe"
+            ):
+                raise PlanError(
+                    "mesh join->group_by supports an unfiltered inner join "
+                    "with carry='probe' (the join exchange co-partitions "
+                    "the groups); compose others single-device"
+                )
+            _, _ = _exec_join_sides(join, ctx, steps)
+            steps.append(
+                "join[inner] + group_by -> one shuffle: the join exchange "
+                "co-partitions the groups; partials matched per key, "
+                "combiner merge (R3, R6)"
+            )
+            mesh = ctx.mesh
+            probe_t = join.probe.table
+            build_t = join.build.table
+
+            def run_mesh_join():
+                from partitionedhashjoin_tpu.parallel.join_aggregate import (
+                    DistributedJoinAggregateOperator,
+                )
+
+                op = DistributedJoinAggregateOperator(mesh, seed=0x5EED)
+                return op.run(build_t, probe_t, group_capacity=cap)
+
+            return run_mesh_join
+        inner = _exec_table(child, ctx, steps)
+        steps.append(
+            "group_by -> distributed combiner-plan aggregate (local "
+            "sort-aggregate, hash-routed partials, psum-exact) (R6)"
+        )
         mesh = ctx.mesh
 
         def run_mesh():

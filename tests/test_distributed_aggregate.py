@@ -157,3 +157,177 @@ class TestDistributedTopK:
             distributed_top_k(mesh, t, 20)
         with pytest.raises(ValueError, match="positive"):
             distributed_top_k(mesh, t, 0)
+
+
+def _np_join_group(build_keys, probe_keys, probe_pays):
+    """Numpy oracle: GROUP BY key of COUNT/SUM(mod 2^32)/MIN/MAX over probe
+    rows whose key exists in the build relation (inner join, carry=probe)."""
+    bset = set(build_keys.tolist())
+    out = {}
+    for k, p in zip(probe_keys.tolist(), probe_pays.tolist()):
+        if k not in bset:
+            continue
+        c, s, mn, mx = out.get(k, (0, 0, p, p))
+        out[k] = (c + 1, np.int32(s + p), min(mn, p), max(mx, p))
+    return {k: (c, int(s), mn, mx) for k, (c, s, mn, mx) in out.items()}
+
+
+class TestDistributedJoinAggregate:
+    def _check(self, build, probe, op, **kw):
+        g = op.run(build, probe, **kw)
+        want = _np_join_group(
+            np.asarray(build.keys), np.asarray(probe.keys),
+            np.asarray(probe.payloads),
+        )
+        assert int(g.num_groups) == len(want)
+        assert _as_map(g) == want
+
+    def test_matches_oracle_partial_match(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        rng = np.random.default_rng(81)
+        # build covers only half the probe key range: unmatched keys must
+        # produce NO groups
+        build = make_table(
+            rng.integers(0, 50, 256).astype(np.int32),
+            rng.integers(0, 9, 256).astype(np.int32),
+        )
+        probe = make_table(
+            rng.integers(0, 100, 4096).astype(np.int32),
+            rng.integers(-1000, 1000, 4096).astype(np.int32),
+        )
+        mesh = make_mesh()
+        self._check(
+            build, probe, DistributedJoinAggregateOperator(mesh, seed=3)
+        )
+
+    def test_zipf_hot_keys_exact(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        # heavy Zipf head on the probe side: hot rows stay local, partials
+        # merge across shards — results must stay exact
+        probe = zipf_table(16384, alpha=1.25, key_range=(1, 300), seed=21)
+        rng = np.random.default_rng(82)
+        build = make_table(
+            np.arange(1, 257, dtype=np.int32),  # keys 1..256 present
+            rng.integers(0, 9, 256).astype(np.int32),
+        )
+        probe = make_table(
+            np.asarray(probe.keys), np.asarray(probe.payloads)
+        )
+        mesh = make_mesh()
+        self._check(
+            build, probe, DistributedJoinAggregateOperator(mesh, seed=5)
+        )
+
+    def test_no_skew_plan_matches_too(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        probe = zipf_table(8192, alpha=1.05, key_range=(1, 200), seed=23)
+        build = make_table(
+            np.arange(1, 129, dtype=np.int32),
+            np.zeros(128, np.int32),
+        )
+        probe = make_table(
+            np.asarray(probe.keys), np.asarray(probe.payloads)
+        )
+        mesh = make_mesh()
+        self._check(
+            build, probe,
+            DistributedJoinAggregateOperator(mesh, seed=7, handle_skew=False),
+        )
+
+    def test_capacity_overflow_retries_to_exact(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        rng = np.random.default_rng(83)
+        keys = rng.permutation(
+            np.repeat(np.arange(600, dtype=np.int32), 4)
+        )
+        build = make_table(
+            np.arange(600, dtype=np.int32), np.zeros(600, np.int32)
+        )
+        # 600 rows not divisible by 8 -> pad build to 608 via extra rows
+        build = make_table(
+            np.concatenate([np.asarray(build.keys),
+                            np.zeros(8, np.int32)]),
+            np.zeros(608, np.int32),
+        )
+        probe = make_table(
+            keys, rng.integers(-100, 100, keys.size).astype(np.int32)
+        )
+        mesh = make_mesh()
+        op = DistributedJoinAggregateOperator(mesh, seed=9, slack=1.0)
+        self._check(build, probe, op, group_capacity=2)
+
+    def test_duplicate_build_keys_count_once(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        # first-match semantics: probe rows match once no matter how many
+        # build rows share the key
+        build = make_table(
+            np.repeat(np.arange(8, dtype=np.int32), 8),
+            np.arange(64, dtype=np.int32),
+        )
+        probe = make_table(
+            np.tile(np.arange(16, dtype=np.int32), 8),
+            np.ones(128, np.int32),
+        )
+        mesh = make_mesh()
+        self._check(
+            build, probe, DistributedJoinAggregateOperator(mesh, seed=11)
+        )
+
+    def test_int32_max_key_exact(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        # INT32_MAX is the membership sentinel internally; a genuine
+        # INT32_MAX key must still join exactly
+        m = np.iinfo(np.int32).max
+        build = make_table(
+            np.asarray([m, 1, 2, 3, 4, 5, 6, 7], np.int32),
+            np.zeros(8, np.int32),
+        )
+        probe = make_table(
+            np.asarray([m, m, 1, 9, m, 2, 9, 9] * 2, np.int32),
+            np.arange(16, dtype=np.int32),
+        )
+        mesh = make_mesh()
+        self._check(
+            build, probe, DistributedJoinAggregateOperator(mesh, seed=13)
+        )
+
+    def test_validation(self):
+        from partitionedhashjoin_tpu.parallel.join_aggregate import (
+            DistributedJoinAggregateOperator,
+        )
+
+        mesh = make_mesh()
+        op = DistributedJoinAggregateOperator(mesh, seed=15)
+        t8 = make_table(np.arange(8, dtype=np.int32),
+                        np.arange(8, dtype=np.int32))
+        t9 = make_table(np.arange(9, dtype=np.int32),
+                        np.arange(9, dtype=np.int32))
+        with pytest.raises(ValueError, match="divide"):
+            op.run(t8, t9)
+        import jax as _jax
+
+        with _jax.enable_x64(True):
+            t64 = make_table(
+                jnp.asarray(np.arange(8), jnp.int32),
+                jnp.asarray(np.arange(8), jnp.int64),
+            )
+            with pytest.raises(TypeError, match="int32-only"):
+                op.run(t64, t8)

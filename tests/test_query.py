@@ -374,14 +374,48 @@ class TestMesh:
         want = np.sort(np.asarray(b.keys))[::-1][:5]
         np.testing.assert_array_equal(np.asarray(r.table.keys), want)
 
+    def test_mesh_join_group_by(self, mesh):
+        rng = np.random.default_rng(53)
+        a = _t(rng.integers(0, 40, 64), rng.integers(1, 9, 64))
+        b = _t(rng.integers(0, 60, 512), rng.integers(-99, 99, 512))
+        q = scan(b).join(scan(a)).group_by()
+        assert "one shuffle" in q.explain(mesh=mesh)
+        g = q.execute(mesh=mesh)
+        ak = set(np.asarray(a.keys).tolist())
+        sel = np.isin(np.asarray(b.keys), list(ak))
+        want = _np_group(
+            np.asarray(b.keys)[sel], np.asarray(b.payloads)[sel]
+        )
+        assert _group_dict(g) == want
+        # group-stage tail runs on the replicated result
+        top = q.order_by("count", descending=True).limit(3).execute(
+            mesh=mesh
+        )
+        counts = sorted((c for c, *_ in want.values()), reverse=True)[:3]
+        assert np.asarray(top.count)[:3].tolist() == counts
+
     def test_mesh_unsupported_shapes_raise(self, mesh):
         t = _t([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8])
-        with pytest.raises(PlanError):
-            scan(t).join(scan(t)).group_by().execute(mesh=mesh)
+        with pytest.raises(PlanError):  # carry="build" stays single-device
+            scan(t).join(scan(t), carry="build").group_by().execute(
+                mesh=mesh
+            )
+        with pytest.raises(PlanError):  # filtered join side
+            scan(t).filter(lambda k, p: p > 0).join(
+                scan(t)
+            ).group_by().execute(mesh=mesh)
+        with pytest.raises(PlanError):  # non-inner join type
+            scan(t).join(scan(t), join_type="left").group_by().execute(
+                mesh=mesh
+            )
         with pytest.raises(PlanError):
             scan(t).join(scan(t)).execute(mesh=mesh)
         with pytest.raises(PlanError):
             scan(t).group_by(with_distinct=True).execute(mesh=mesh)
+        with pytest.raises(PlanError):
+            scan(t).join(scan(t)).group_by(
+                with_distinct=True
+            ).execute(mesh=mesh)
 
 
 class TestExplain:
