@@ -217,7 +217,14 @@ class DistributedJoinAggregateOperator:
         build: Table,
         probe: Table,
         group_capacity: Optional[int] = None,
+        build_valid=None,
+        probe_valid=None,
     ) -> GroupByResult:
+        """``build_valid``/``probe_valid``: optional per-row validity (a
+        pushed-down FILTER, query.py R2/R6).  Invalid rows are dropped at
+        the exchange bucketizer — cold rows never travel and hot rows are
+        excluded from ``is_hot_b`` — so groups aggregate valid rows only
+        at zero extra passes."""
         for name, t in (("build", build), ("probe", probe)):
             if t.keys.dtype != jnp.int32 or t.payloads.dtype != jnp.int32:
                 raise TypeError(
@@ -263,6 +270,8 @@ class DistributedJoinAggregateOperator:
                 cap_b,
                 hot_cap,
                 use_hot,
+                valid_a=build_valid,
+                valid_b=probe_valid,
             )
             dropped = jax.device_get(
                 (stats.dropped_a, stats.dropped_b, stats.dropped_hot)

@@ -61,6 +61,18 @@ def pad_to_multiple(
     )
 
 
+def shard_array(array: jax.Array, mesh: Mesh) -> jax.Array:
+    """Place a 1-D per-row array (e.g. a validity mask) row-sharded on the
+    mesh, matching ``shard_table``'s layout so it can ride the exchange."""
+    n_shards = mesh.devices.size
+    if array.shape[0] % n_shards:
+        raise ValueError(
+            f"array length {array.shape[0]} not divisible by "
+            f"{n_shards} shards; pad first (pad_to_multiple)"
+        )
+    return jax.device_put(array, row_sharding(mesh))
+
+
 def shard_table(table: Table, mesh: Mesh) -> Table:
     """Place a table's columns row-sharded on the mesh.
 

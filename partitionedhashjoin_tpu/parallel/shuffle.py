@@ -150,6 +150,8 @@ def _exchange(
     hot_cap: int,
     use_hot: bool,
     exchange_b: bool = True,
+    valid_a=None,
+    valid_b=None,
 ):
     """Partition phase: bucketize + all_to_all both relations; replicate hot
     build rows.  Returns per-shard received rows (+ masks), local hot probe
@@ -157,16 +159,24 @@ def _exchange(
 
     With ``exchange_b=False`` the B relation is bucketized but NOT exchanged
     (its slots in the return tuple hold the local send buckets) — the
-    pipelined probe (_pipelined_probe) exchanges B chunk-by-chunk instead."""
+    pipelined probe (_pipelined_probe) exchanges B chunk-by-chunk instead.
 
-    def local(keys_a, pays_a, keys_b, pays_b, shard_seed, hot_keys, hot_valid, hot_seed):
+    ``valid_a``/``valid_b``: optional per-row validity (a pushed-down
+    FILTER, the query layer's R2 rule).  Invalid rows route to the
+    bucketizer's dump segment — they never travel, never replicate, and
+    never appear hot — so a filtered distributed join costs zero extra
+    passes."""
+
+    def local(keys_a, pays_a, keys_b, pays_b, shard_seed, hot_keys, hot_valid, hot_seed, va, vb):
         num_shards = jax.lax.axis_size(SHARD_AXIS)
         shard_seed_ = shard_seed[0]
+        row_a = jnp.ones(keys_a.shape, jnp.bool_) if va is None else va
+        row_b = jnp.ones(keys_b.shape, jnp.bool_) if vb is None else vb
         if use_hot:
             # hot plan sets are <= hot_capacity keys: fused compare passes
             # beat a hashed-gather probe by ~10x on relation-sized inputs
-            is_hot_a = _member_of_small(keys_a, hot_keys, hot_valid)
-            is_hot_b = _member_of_small(keys_b, hot_keys, hot_valid)
+            is_hot_a = row_a & _member_of_small(keys_a, hot_keys, hot_valid)
+            is_hot_b = row_b & _member_of_small(keys_b, hot_keys, hot_valid)
         else:
             is_hot_a = jnp.zeros(keys_a.shape, jnp.bool_)
             is_hot_b = jnp.zeros(keys_b.shape, jnp.bool_)
@@ -175,10 +185,10 @@ def _exchange(
         dest_a = _owner_shard(keys_a, shard_seed_, num_shards)
         dest_b = _owner_shard(keys_b, shard_seed_, num_shards)
         bk_a, bp_a, bv_a, drop_a = _bucketize(
-            dest_a, ~is_hot_a, cap_a, num_shards, keys_a, pays_a
+            dest_a, row_a & ~is_hot_a, cap_a, num_shards, keys_a, pays_a
         )
         bk_b, bp_b, bv_b, drop_b = _bucketize(
-            dest_b, ~is_hot_b, cap_b, num_shards, keys_b, pays_b
+            dest_b, row_b & ~is_hot_b, cap_b, num_shards, keys_b, pays_b
         )
 
         def a2a(x):
@@ -242,7 +252,7 @@ def _exchange(
     return _shard_map(
         local,
         mesh=mesh,
-        in_specs=(sh, sh, sh, sh, rep, rep, rep, rep),
+        in_specs=(sh, sh, sh, sh, rep, rep, rep, rep, sh, sh),
         out_specs=(sh, sh, sh, sh, sh, sh, sh, rep, rep, rep, rep),
         check_vma=False,
     )(
@@ -254,6 +264,8 @@ def _exchange(
         hot_keys,
         hot_valid,
         jnp.reshape(hot_seed, (1,)),
+        valid_a,
+        valid_b,
     )
 
 
@@ -701,7 +713,13 @@ class DistributedShuffleJoiner:
         table_a: Table,
         table_b: Table,
         timer: Optional[IHashJoinTimer] = None,
+        valid_a=None,
+        valid_b=None,
     ) -> int:
+        """Count matches; ``valid_a``/``valid_b`` are optional per-row
+        validity masks (a pushed-down FILTER — query.py R2/R6).  Invalid
+        rows are dropped at the bucketizer so they never travel; the count
+        is exact over valid rows only."""
         timer = timer or NoOpHashJoinTimer()
         s = self._num_shards
         if table_a.size % s or table_b.size % s:
@@ -731,9 +749,13 @@ class DistributedShuffleJoiner:
                 jnp.asarray(table_a.keys).dtype in wide
                 or jnp.asarray(table_b.keys).dtype in wide
             )
+            masked = valid_a is not None or valid_b is not None
             if merge_join.supported() and not i64:
-                count = merge_join.two_run_count(table_a.keys, table_b.keys)
-            elif merge_join.supported() and jax.config.jax_enable_x64:
+                count = merge_join.two_run_count(
+                    table_a.keys, table_b.keys,
+                    build_valid=valid_a, probe_valid=valid_b,
+                )
+            elif merge_join.supported() and jax.config.jax_enable_x64 and not masked:
                 # int64 keys route to the plane kernel, mirroring
                 # SortMergeJoiner.count (round-3 review: two_run_count now
                 # refuses 64-bit keys rather than truncating)
@@ -741,7 +763,10 @@ class DistributedShuffleJoiner:
                     table_a.keys, table_b.keys
                 )
             else:
-                count = sort_merge_count(table_a.keys, table_b.keys)
+                count = sort_merge_count(
+                    table_a.keys, table_b.keys,
+                    build_valid=valid_a, probe_valid=valid_b,
+                )
             count = int(jax.device_get(count))
             timer.set_probe_phase_end()
             self._logger.info("Number of joined tuples: %d", count)
@@ -791,6 +816,8 @@ class DistributedShuffleJoiner:
                 hot_cap,
                 use_hot,
                 exchange_b=not pipelined,
+                valid_a=valid_a,
+                valid_b=valid_b,
             )
             dropped = jax.device_get(
                 (stats.dropped_a, stats.dropped_b, stats.dropped_hot)

@@ -338,6 +338,15 @@ def _join_is_plain(node: _Join) -> bool:
     return isinstance(node.probe, _Scan) and isinstance(node.build, _Scan)
 
 
+def _mesh_side_ok(node) -> bool:
+    """True when a join side is a scan or a filter chain over a scan —
+    shapes unchanged, so the side compiles to (columns, validity mask)
+    and the mask pushes down into the distributed exchange (R6)."""
+    while isinstance(node, _Filter):
+        node = node.child
+    return isinstance(node, _Scan)
+
+
 def _exec_join_rows(node: _Join, ctx: _Ctx, steps: list):
     """Join whose output rows flow onward (or are the result)."""
     if ctx.mesh is not None:
@@ -587,31 +596,40 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
             join = child
             if (
                 join.join_type != "inner"
-                or not _join_is_plain(join)
+                or not (
+                    _mesh_side_ok(join.build) and _mesh_side_ok(join.probe)
+                )
                 or join.carry != "probe"
             ):
                 raise PlanError(
-                    "mesh join->group_by supports an unfiltered inner join "
-                    "with carry='probe' (the join exchange co-partitions "
-                    "the groups); compose others single-device"
+                    "mesh join->group_by supports an inner join over "
+                    "scan/filter sides with carry='probe' (the join "
+                    "exchange co-partitions the groups); compose others "
+                    "single-device"
                 )
-            _, _ = _exec_join_sides(join, ctx, steps)
+            build, probe = _exec_join_sides(join, ctx, steps)
             steps.append(
                 "join[inner] + group_by -> one shuffle: the join exchange "
-                "co-partitions the groups; partials matched per key, "
-                "combiner merge (R3, R6)"
+                "co-partitions the groups (filters pushed into the "
+                "bucketizer); partials matched per key, combiner merge "
+                "(R2, R3, R6)"
             )
             mesh = ctx.mesh
-            probe_t = join.probe.table
-            build_t = join.build.table
 
             def run_mesh_join():
                 from partitionedhashjoin_tpu.parallel.join_aggregate import (
                     DistributedJoinAggregateOperator,
                 )
 
+                b, p = build(), probe()
                 op = DistributedJoinAggregateOperator(mesh, seed=0x5EED)
-                return op.run(build_t, probe_t, group_capacity=cap)
+                return op.run(
+                    make_table(b.keys, b.pays),
+                    make_table(p.keys, p.pays),
+                    group_capacity=cap,
+                    build_valid=b.mask,
+                    probe_valid=p.mask,
+                )
 
             return run_mesh_join
         inner = _exec_table(child, ctx, steps)
@@ -940,26 +958,38 @@ def _compile_count(node, ctx: _Ctx) -> _Plan:
 def _count_join(node: _Join, ctx: _Ctx, steps: list):
     jt = node.join_type
     if ctx.mesh is not None:
-        if jt not in ("inner", "semi") or not _join_is_plain(node):
+        if jt not in ("inner", "semi") or not (
+            _mesh_side_ok(node.build) and _mesh_side_ok(node.probe)
+        ):
             raise PlanError(
-                "mesh join counts support unfiltered inner/semi joins "
-                "(the shuffle join); compose others single-device"
+                "mesh join counts support inner/semi joins over "
+                "scan/filter sides (the shuffle join); compose others "
+                "single-device"
             )
+        build, probe = _exec_join_sides(node, ctx, steps)
         steps.append(
             "count join[inner] -> distributed shuffle join "
-            "(all_to_all exchange, hot-key replication, psum count) (R1, R6)"
+            "(all_to_all exchange, hot-key replication, filters pushed "
+            "into the bucketizer, psum count) (R1, R2, R6)"
         )
         mesh = ctx.mesh
-        probe_t = node.probe.table
-        build_t = node.build.table
 
         def run_mesh():
             from partitionedhashjoin_tpu.parallel.shuffle import (
                 DistributedShuffleJoiner,
             )
 
+            b, p = build(), probe()
             joiner = DistributedShuffleJoiner(mesh, seed=0x5EED)
-            return jnp.asarray(joiner.run(build_t, probe_t), jnp.int32)
+            return jnp.asarray(
+                joiner.run(
+                    make_table(b.keys, b.pays),
+                    make_table(p.keys, p.pays),
+                    valid_a=b.mask,
+                    valid_b=p.mask,
+                ),
+                jnp.int32,
+            )
 
         return run_mesh
 

@@ -16,6 +16,7 @@ from partitionedhashjoin_tpu.ops.generators import sequential_table, zipf_table
 from partitionedhashjoin_tpu.parallel.mesh import (
     make_mesh,
     pad_to_multiple,
+    shard_array,
     shard_table,
 )
 from partitionedhashjoin_tpu.parallel.shuffle import (
@@ -244,3 +245,79 @@ def test_single_shard_fast_path_matches_general():
     # the general path actually exchanged: the partition phase ran (the fast
     # path never starts it, leaving the duration at exactly 0.0)
     assert timer.get_result().get_partitioning_phase_duration() > 0
+
+
+def _masked_oracle(a_keys, b_keys, va, vb):
+    # engine count semantics: matched (valid) probe rows — the build side
+    # is the key set (duplicates deduped, reference primary-key semantics)
+    ak = np.unique(np.asarray(a_keys)[np.asarray(va)])
+    return int((np.asarray(vb) & np.isin(np.asarray(b_keys), ak)).sum())
+
+
+def test_validity_masks_push_into_exchange(mesh8):
+    """Pushed-down filters (query.py R2/R6): invalid rows are dropped at
+    the bucketizer — the masked distributed count equals the pair oracle
+    over valid rows only, with duplicate build keys in play."""
+    rng = np.random.default_rng(19)
+    a_keys = rng.integers(0, 800, 2048).astype(np.int32)  # duplicates
+    b_keys = rng.integers(0, 1000, 8192).astype(np.int32)
+    a = make_table(a_keys, np.arange(2048, dtype=np.int32))
+    b = make_table(b_keys, np.arange(8192, dtype=np.int32))
+    va = (np.asarray(a.payloads) % 3 != 0)
+    vb = (np.asarray(b.payloads) % 2 == 0)
+    want = _masked_oracle(a_keys, b_keys, va, vb)
+    got = DistributedShuffleJoiner(mesh8, seed=23).run(
+        shard_table(a, mesh8),
+        shard_table(b, mesh8),
+        valid_a=shard_array(jnp.asarray(va), mesh8),
+        valid_b=shard_array(jnp.asarray(vb), mesh8),
+    )
+    assert got == want
+    # one-sided masks too (None on the other side)
+    got_a = DistributedShuffleJoiner(mesh8, seed=29).run(
+        shard_table(a, mesh8), shard_table(b, mesh8),
+        valid_a=shard_array(jnp.asarray(va), mesh8),
+    )
+    assert got_a == _masked_oracle(
+        a_keys, b_keys, va, np.ones(len(b_keys), bool)
+    )
+
+
+def test_validity_masks_with_zipf_hot_keys(mesh8):
+    """A filtered hot key: masked rows must neither replicate (build) nor
+    count locally (probe), even when the skew plan marks the key hot."""
+    n = 2048
+    a = sequential_table(n)
+    b = zipf_table(16384, alpha=1.25, key_range=(1, n), seed=31)
+    # filter out ~half the probe rows of every key, incl. the Zipf head
+    vb = (np.arange(16384) % 2 == 0)
+    want = int(vb.sum())  # a is a 1..n primary key: every valid b row matches
+    got = DistributedShuffleJoiner(mesh8, seed=37).run(
+        shard_table(a, mesh8),
+        shard_table(b, mesh8),
+        valid_b=shard_array(jnp.asarray(vb), mesh8),
+    )
+    assert got == want
+
+
+def test_validity_masks_single_shard_fast_path():
+    mesh1 = make_mesh(1)
+    rng = np.random.default_rng(41)
+    a = make_table(
+        rng.integers(0, 500, 1024).astype(np.int32),
+        np.arange(1024, dtype=np.int32),
+    )
+    b = make_table(
+        rng.integers(0, 600, 4096).astype(np.int32),
+        np.arange(4096, dtype=np.int32),
+    )
+    va = (np.asarray(a.payloads) % 5 != 0)
+    vb = (np.asarray(b.payloads) % 3 != 0)
+    want = _masked_oracle(a.keys, b.keys, va, vb)
+    fast = DistributedShuffleJoiner(mesh1, seed=2)
+    got = fast.run(a, b, valid_a=jnp.asarray(va), valid_b=jnp.asarray(vb))
+    assert got == want
+    slow = DistributedShuffleJoiner(mesh1, seed=2, single_shard_fast_path=False)
+    assert slow.run(
+        a, b, valid_a=jnp.asarray(va), valid_b=jnp.asarray(vb)
+    ) == want

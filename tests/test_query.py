@@ -360,10 +360,24 @@ class TestMesh:
         ak = set(np.asarray(a.keys).tolist())
         want = int(sum(1 for k in np.asarray(b.keys).tolist() if k in ak))
         assert scan(b).join(scan(a)).count(mesh=mesh) == want
-        with pytest.raises(PlanError):
-            scan(b).filter(lambda k, p: p > 0).join(scan(a)).count(
-                mesh=mesh
-            )
+
+    def test_mesh_join_count_filtered(self, mesh):
+        # filters push down into the exchange bucketizer (R2 + R6):
+        # the distributed count equals the single-device masked count
+        rng = np.random.default_rng(59)
+        a = _t(rng.integers(0, 50, 64), rng.integers(1, 9, 64))
+        b = _t(rng.integers(0, 60, 512), rng.integers(-9, 9, 512))
+        bp = lambda k, p: p % 2 == 0
+        ap = lambda k, p: p > 3
+        q = scan(b).filter(bp).join(scan(a).filter(ap))
+        ak = set(
+            np.asarray(a.keys)[np.asarray(ap(a.keys, a.payloads))].tolist()
+        )
+        sel = np.asarray(bp(b.keys, b.payloads))
+        want = int(
+            sum(1 for k in np.asarray(b.keys)[sel].tolist() if k in ak)
+        )
+        assert q.count(mesh=mesh) == want == q.count()
 
     def test_mesh_top_k(self, mesh):
         rng = np.random.default_rng(47)
@@ -394,15 +408,41 @@ class TestMesh:
         counts = sorted((c for c, *_ in want.values()), reverse=True)[:3]
         assert np.asarray(top.count)[:3].tolist() == counts
 
+    def test_mesh_join_group_by_filtered(self, mesh):
+        # both-side filters ride the one-shuffle join->GROUP BY as
+        # validity masks: invalid rows never travel, never go hot, and
+        # never register build membership (R2 + R3 + R6)
+        rng = np.random.default_rng(61)
+        a = _t(rng.integers(0, 40, 64), rng.integers(1, 9, 64))
+        b = _t(rng.integers(0, 60, 512), rng.integers(-99, 99, 512))
+        ap = lambda k, p: p != 4
+        bp = lambda k, p: p % 3 != 0
+        q = scan(b).filter(bp).join(scan(a).filter(ap)).group_by()
+        assert "filters pushed" in q.explain(mesh=mesh)
+        g = q.execute(mesh=mesh)
+        ak = set(
+            np.asarray(a.keys)[np.asarray(ap(a.keys, a.payloads))].tolist()
+        )
+        sel = np.asarray(bp(b.keys, b.payloads)) & np.isin(
+            np.asarray(b.keys), list(ak)
+        )
+        want = _np_group(
+            np.asarray(b.keys)[sel], np.asarray(b.payloads)[sel]
+        )
+        assert _group_dict(g) == want
+        # identical to the single-device composed plan
+        g1 = q.execute()
+        assert _group_dict(g1) == want
+
     def test_mesh_unsupported_shapes_raise(self, mesh):
         t = _t([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8])
         with pytest.raises(PlanError):  # carry="build" stays single-device
             scan(t).join(scan(t), carry="build").group_by().execute(
                 mesh=mesh
             )
-        with pytest.raises(PlanError):  # filtered join side
-            scan(t).filter(lambda k, p: p > 0).join(
-                scan(t)
+        with pytest.raises(PlanError):  # join-of-join side stays local
+            scan(t).join(
+                scan(t).join(scan(t), carry="probe")
             ).group_by().execute(mesh=mesh)
         with pytest.raises(PlanError):  # non-inner join type
             scan(t).join(scan(t), join_type="left").group_by().execute(
