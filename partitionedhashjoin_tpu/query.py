@@ -350,10 +350,47 @@ def _mesh_side_ok(node) -> bool:
 def _exec_join_rows(node: _Join, ctx: _Ctx, steps: list):
     """Join whose output rows flow onward (or are the result)."""
     if ctx.mesh is not None:
-        raise PlanError(
-            "mesh execution of a materializing join is not implemented; "
-            "use .count() (shuffle join) or run single-device"
+        jt = node.join_type
+        if jt not in ("inner", "semi", "anti", "left") or not (
+            _mesh_side_ok(node.build) and _mesh_side_ok(node.probe)
+        ):
+            raise PlanError(
+                "mesh materializing joins support inner/semi/anti/left "
+                "over scan/filter sides (full needs a per-build-row "
+                "cross-shard reduction); compose others single-device"
+            )
+        build, probe = _exec_join_sides(node, ctx, steps)
+        carry = node.carry
+        steps.append(
+            f"join[{jt}] -> distributed materialize (exchange + per-shard "
+            "typed union join, gathered + compacted); filters pushed into "
+            "the bucketizer (R2, R6); carry=" + carry
         )
+        mesh = ctx.mesh
+
+        def run_mesh():
+            from partitionedhashjoin_tpu.parallel.materialize_shuffle import (
+                DistributedMaterializeJoiner,
+            )
+
+            b, p = build(), probe()
+            op = DistributedMaterializeJoiner(mesh, seed=0x5EED)
+            joined = op.run(
+                make_table(b.keys, b.pays),
+                make_table(p.keys, p.pays),
+                jt,
+                build_valid=b.mask,
+                probe_valid=p.mask,
+            )
+            pays = (
+                joined.payloads_b if carry == "probe"
+                else joined.payloads_a
+            )
+            t = _T(joined.keys, pays, prefix_count=joined.count)
+            t.joined = joined
+            return t
+
+        return run_mesh
     build, probe = _exec_join_sides(node, ctx, steps)
     jt, carry = node.join_type, node.carry
     steps.append(

@@ -321,3 +321,118 @@ def test_validity_masks_single_shard_fast_path():
     assert slow.run(
         a, b, valid_a=jnp.asarray(va), valid_b=jnp.asarray(vb)
     ) == want
+
+
+class TestDistributedMaterialize:
+    """Mesh materializing join (parallel/materialize_shuffle.py): per-shard
+    union joins are exact under the exchange's cold/hot routing."""
+
+    def _check(self, mesh, a, b, jt, seed=71, **knobs):
+        from partitionedhashjoin_tpu.ops.sort_merge import (
+            sort_merge_materialize_typed,
+        )
+        from partitionedhashjoin_tpu.parallel.materialize_shuffle import (
+            DistributedMaterializeJoiner,
+        )
+
+        ref = sort_merge_materialize_typed(
+            a.keys, a.payloads, b.keys, b.payloads, jt
+        )
+        got = DistributedMaterializeJoiner(mesh, seed=seed, **knobs).run(
+            shard_table(a, mesh), shard_table(b, mesh), jt
+        )
+        n = int(ref[4])
+        assert int(got.count) == n
+
+        def rows(k, p, m, c):
+            return sorted(
+                zip(
+                    np.asarray(k)[:c].tolist(),
+                    np.asarray(p)[:c].tolist(),
+                    np.asarray(m)[:c].tolist(),
+                )
+            )
+
+        assert rows(got.keys, got.payloads_b, got.matched, n) == rows(
+            ref[0], ref[2], ref[3], n
+        )
+        return got
+
+    def test_zipf_hot_keys_inner(self, mesh8):
+        # Zipf head goes hot: replicated build rows + local probe rows
+        # must materialize each hot probe row exactly once
+        n = 2048
+        a = sequential_table(n)
+        b = zipf_table(16384, alpha=1.25, key_range=(1, n), seed=73)
+        got = self._check(mesh8, a, b, "inner")
+        assert int(got.count) == 16384  # primary-key build: all rows match
+
+    @pytest.mark.parametrize("jt", ["anti", "left"])
+    def test_zipf_hot_keys_outer_variants(self, mesh8, jt):
+        # keys beyond the build range exercise unmatched hot/cold rows
+        n = 1024
+        a = sequential_table(n)
+        b = zipf_table(8192, alpha=1.25, key_range=(1, 2 * n), seed=79)
+        self._check(mesh8, a, b, jt)
+
+    def test_hot_overflow_grows_and_retries(self, mesh8):
+        # hot_capacity=1 forces a hot replication overflow on the skewed
+        # head; the retry must grow hot_cap and stay exact
+        n = 512
+        a = sequential_table(n)
+        b = zipf_table(4096, alpha=1.25, key_range=(1, n), seed=83)
+        got = self._check(
+            mesh8, a, b, "inner", hot_capacity=1, hot_min_frac=0.0
+        )
+        assert int(got.count) == 4096
+
+    def test_duplicate_build_payload_consistency(self, mesh8):
+        # unique build keys: payload_a must match the single-device
+        # materializer exactly (no impl-defined first-match ambiguity)
+        from partitionedhashjoin_tpu.ops.sort_merge import (
+            sort_merge_materialize_typed,
+        )
+        from partitionedhashjoin_tpu.parallel.materialize_shuffle import (
+            DistributedMaterializeJoiner,
+        )
+
+        rng = np.random.default_rng(89)
+        ak = rng.choice(np.arange(2000, dtype=np.int32), 512, replace=False)
+        a = make_table(ak, rng.integers(0, 100, 512).astype(np.int32))
+        b = make_table(
+            rng.integers(0, 2500, 4096).astype(np.int32),
+            np.arange(4096, dtype=np.int32),
+        )
+        ref = sort_merge_materialize_typed(
+            a.keys, a.payloads, b.keys, b.payloads, "inner"
+        )
+        got = DistributedMaterializeJoiner(mesh8, seed=97).run(
+            shard_table(a, mesh8), shard_table(b, mesh8), "inner"
+        )
+        n = int(ref[4])
+        assert int(got.count) == n
+        want = sorted(
+            zip(
+                np.asarray(ref[0])[:n].tolist(),
+                np.asarray(ref[1])[:n].tolist(),
+                np.asarray(ref[2])[:n].tolist(),
+            )
+        )
+        have = sorted(
+            zip(
+                np.asarray(got.keys)[:n].tolist(),
+                np.asarray(got.payloads_a)[:n].tolist(),
+                np.asarray(got.payloads_b)[:n].tolist(),
+            )
+        )
+        assert want == have
+
+    def test_rejects_full_and_wrong_dtypes(self, mesh8):
+        from partitionedhashjoin_tpu.parallel.materialize_shuffle import (
+            DistributedMaterializeJoiner,
+        )
+
+        a = shard_table(sequential_table(64), mesh8)
+        op = DistributedMaterializeJoiner(mesh8, seed=1)
+        with pytest.raises(ValueError):
+            op.run(a, a, "full")

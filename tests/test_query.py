@@ -434,6 +434,44 @@ class TestMesh:
         g1 = q.execute()
         assert _group_dict(g1) == want
 
+    @pytest.mark.parametrize("jt", ["inner", "semi", "anti", "left"])
+    def test_mesh_join_materialize(self, mesh, jt):
+        # distributed materializing join: row multiset equals the
+        # single-device typed materializer (payload_a omitted — with
+        # duplicate build keys the first-match choice is impl-defined)
+        from partitionedhashjoin_tpu.ops.sort_merge import (
+            sort_merge_materialize_typed,
+        )
+
+        rng = np.random.default_rng(67)
+        a = _t(rng.integers(0, 40, 64), rng.integers(1, 9, 64))
+        b = _t(rng.integers(0, 60, 512), rng.integers(-99, 99, 512))
+        bp = lambda k, p: p % 2 == 0
+        pp = lambda k, p: p > -50
+        q = scan(b).filter(pp).join(scan(a).filter(bp), join_type=jt)
+        out = q.execute(mesh=mesh)
+        assert isinstance(out, JoinedTable)
+        keys, _pa, pb, matched, count = sort_merge_materialize_typed(
+            a.keys, a.payloads, b.keys, b.payloads, jt,
+            build_valid=bp(a.keys, a.payloads),
+            probe_valid=pp(b.keys, b.payloads),
+        )
+        n = int(count)
+        assert int(out.count) == n
+
+        def rows(k, p, m, c):
+            return sorted(
+                zip(
+                    np.asarray(k)[:c].tolist(),
+                    np.asarray(p)[:c].tolist(),
+                    np.asarray(m)[:c].tolist(),
+                )
+            )
+
+        assert rows(out.keys, out.payloads_b, out.matched, n) == rows(
+            keys, pb, matched, n
+        )
+
     def test_mesh_unsupported_shapes_raise(self, mesh):
         t = _t([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8])
         with pytest.raises(PlanError):  # carry="build" stays single-device
@@ -448,8 +486,8 @@ class TestMesh:
             scan(t).join(scan(t), join_type="left").group_by().execute(
                 mesh=mesh
             )
-        with pytest.raises(PlanError):
-            scan(t).join(scan(t)).execute(mesh=mesh)
+        with pytest.raises(PlanError):  # full join stays single-device
+            scan(t).join(scan(t), join_type="full").execute(mesh=mesh)
         with pytest.raises(PlanError):
             scan(t).group_by(with_distinct=True).execute(mesh=mesh)
         with pytest.raises(PlanError):
