@@ -63,12 +63,66 @@ def _dist_top_k(mesh: Mesh, keys, pays, valid, k: int, by: str,
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "by", "descending")
+)
+def _dist_top_k_masked(mesh: Mesh, keys, pays, valid, k: int, by: str,
+                       descending: bool):
+    """Masked variant: validity-dominant 2-key sorts instead of
+    ``lax.top_k`` — an invalid row can NEVER displace a tied valid row
+    (the single-device ``_masked_order`` R4 rule; with a sentinel-ranked
+    ``top_k`` a valid row whose rank equals the sentinel could lose its
+    slot).  Costs a per-shard sort instead of a streaming pass — the
+    masked path is a filtered query, mirroring query.py's single-device
+    trade.  Also returns the global valid-row count (the result's live
+    prefix is ``min(k, n_valid)``)."""
+
+    def local(keys, pays, valid):
+        col = keys[0] if by == "key" else pays[0]
+        other = pays[0] if by == "key" else keys[0]
+        ranked = _order_key(col, not descending)  # larger = better
+        invalid = jnp.where(valid[0], 0, 1).astype(jnp.int32)
+        inv_s, nrank_s, other_s = jax.lax.sort(
+            (invalid, ~ranked, other), num_keys=2, is_stable=False
+        )
+        gath = tuple(
+            jax.lax.all_gather(c[:k], SHARD_AXIS, tiled=True)
+            for c in (inv_s, nrank_s, other_s)
+        )
+        finv, fnrank, fother = jax.lax.sort(gath, num_keys=2, is_stable=False)
+        ranked_out = ~fnrank[:k]
+        col_out = ~ranked_out if not descending else ranked_out
+        n_valid = jax.lax.psum(
+            jnp.sum(valid[0].astype(jnp.int32)), SHARD_AXIS
+        )
+        return (
+            col_out[None],
+            fother[:k][None],
+            (finv[:k] == 0)[None],
+            jnp.reshape(n_valid, (1,)),
+        )
+
+    sh = P(SHARD_AXIS)
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, sh),
+        out_specs=(sh, sh, sh, sh),
+        check_vma=False,
+    )(
+        keys.reshape(mesh.devices.size, -1),
+        pays.reshape(mesh.devices.size, -1),
+        valid.reshape(mesh.devices.size, -1),
+    )
+
+
 def distributed_top_k(
     mesh: Mesh,
     table: Table,
     k: int,
     by: str = "key",
     descending: bool = True,
+    mask=None,
 ) -> Table:
     """Exact global ORDER BY ... LIMIT k of a (possibly sharded) table.
 
@@ -76,6 +130,13 @@ def distributed_top_k(
     deterministic value order; the carried column follows its row).  ``k``
     must not exceed the per-shard row count (each shard must be able to
     hold k local candidates).
+
+    ``mask``: optional per-row validity (a pushed-down FILTER, query.py
+    R2/R6).  With a mask the result is ``(table, n_live)`` where
+    ``n_live = min(k, #valid rows)`` is the live prefix of the k-row
+    table (rows past it are zeroed) — fewer than k rows may survive the
+    filter, and an invalid row can never be selected (validity-dominant
+    sort, see ``_dist_top_k_masked``).
     """
     if by not in ("key", "payload"):
         raise ValueError(f"by must be 'key' or 'payload', got {by!r}")
@@ -97,6 +158,23 @@ def distributed_top_k(
             "use order_by on gathered data for relation-sized limits"
         )
     valid = jnp.arange(padded, dtype=jnp.int32) < n
+    if mask is not None:
+        m = jnp.asarray(mask, jnp.bool_)
+        if padded != n:
+            m = jnp.concatenate([m, jnp.zeros((padded - n,), jnp.bool_)])
+        valid = valid & m
+        col, other, live, n_valid = _dist_top_k_masked(
+            mesh, keys, pays, valid, k, by, descending
+        )
+        col, other, live = col[0], other[0], live[0]
+        n_live = jnp.minimum(n_valid[0], jnp.asarray(k, jnp.int32))
+        col = jnp.where(live, col, 0)
+        other = jnp.where(live, other, 0)
+        out = (
+            make_table(col, other) if by == "key"
+            else make_table(other, col)
+        )
+        return out, n_live
     col, other, _ = _dist_top_k(mesh, keys, pays, valid, k, by, descending)
     # every shard computed the same replicated answer; take shard 0's copy
     col, other = col[0], other[0]

@@ -486,15 +486,21 @@ def _order_col_key(col, descending):
 
 def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
     if ctx.mesh is not None:
-        if order is None or limit_k is None or not isinstance(core, _Scan):
+        if order is None or limit_k is None or not _mesh_side_ok(core):
             raise PlanError(
-                "mesh table-stage plans support scan().order_by().limit() "
-                "(distributed top-k); compose others single-device"
+                "mesh table-stage plans support "
+                "scan()[.filter()].order_by().limit() (distributed "
+                "top-k); compose others single-device"
             )
+        filtered = not isinstance(core, _Scan)
         steps.append(
             f"order_by {order.by} {'desc' if order.descending else 'asc'} "
             f"+ limit {limit_k} -> distributed top-k "
-            "(local top-k, all_gather S*k, replicated final) (R4, R6)"
+            + (
+                "(filter as validity mask, validity-dominant sort; "
+                if filtered else "(local top-k, "
+            )
+            + "all_gather S*k, replicated final) (R2, R4, R6)"
         )
         mesh = ctx.mesh
 
@@ -504,6 +510,13 @@ def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
             )
 
             t = inner()
+            if t.mask is not None:
+                out, n_live = distributed_top_k(
+                    mesh, make_table(t.keys, t.pays), limit_k,
+                    by=order.by, descending=order.descending,
+                    mask=t.mask,
+                )
+                return TableResult(out, n_live)
             out = distributed_top_k(
                 mesh, make_table(t.keys, t.pays), limit_k,
                 by=order.by, descending=order.descending,

@@ -158,6 +158,50 @@ class TestDistributedTopK:
         with pytest.raises(ValueError, match="positive"):
             distributed_top_k(mesh, t, 0)
 
+    def test_masked_matches_filtered_local(self):
+        # pushed-down filter: the masked distributed top-k equals sorting
+        # the filtered rows locally, for every (by, descending) combo
+        from partitionedhashjoin_tpu.parallel.top_k import distributed_top_k
+
+        rng = np.random.default_rng(73)
+        keys = rng.permutation(4096).astype(np.int32) - 2048
+        pay = rng.integers(-999, 999, 4096).astype(np.int32)
+        mask = (pay % 3 == 0)
+        t = make_table(keys, pay)
+        mesh = make_mesh()
+        for by, desc in (("key", True), ("key", False),
+                         ("payload", True), ("payload", False)):
+            d, n_live = distributed_top_k(
+                mesh, t, 12, by=by, descending=desc, mask=jnp.asarray(mask)
+            )
+            assert int(n_live) == 12
+            col = keys[mask] if by == "key" else pay[mask]
+            want = np.sort(col)[::-1][:12] if desc else np.sort(col)[:12]
+            got = np.asarray(d.keys if by == "key" else d.payloads)
+            np.testing.assert_array_equal(got, want, err_msg=f"{by}{desc}")
+
+    def test_masked_fewer_survivors_than_k(self):
+        # n_live < k: the live prefix is exactly the survivor count and
+        # no invalid row is ever selected — including when valid rows sit
+        # at the int32 extremes (the sentinel-collision case a top_k
+        # formulation would get wrong)
+        from partitionedhashjoin_tpu.parallel.top_k import distributed_top_k
+
+        keys = np.arange(64, dtype=np.int32)
+        keys[3] = np.iinfo(np.int32).min
+        keys[40] = np.iinfo(np.int32).max
+        mask = np.zeros(64, bool)
+        mask[[3, 17, 40]] = True
+        t = make_table(keys, keys.copy())
+        mesh = make_mesh()
+        d, n_live = distributed_top_k(
+            mesh, t, 8, by="key", descending=False, mask=jnp.asarray(mask)
+        )
+        assert int(n_live) == 3
+        got = np.asarray(d.keys)[:3].tolist()
+        assert got == [np.iinfo(np.int32).min, 17, np.iinfo(np.int32).max]
+        assert np.asarray(d.keys)[3:].tolist() == [0] * 5
+
 
 def _np_join_group(build_keys, probe_keys, probe_pays):
     """Numpy oracle: GROUP BY key of COUNT/SUM(mod 2^32)/MIN/MAX over probe

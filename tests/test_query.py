@@ -388,6 +388,33 @@ class TestMesh:
         want = np.sort(np.asarray(b.keys))[::-1][:5]
         np.testing.assert_array_equal(np.asarray(r.table.keys), want)
 
+    def test_mesh_top_k_filtered(self, mesh):
+        # filter pushes into the distributed top-k as a validity mask;
+        # the live count reflects the survivors (R2 + R4 + R6)
+        rng = np.random.default_rng(48)
+        b = _t(rng.integers(0, 10**6, 512), rng.integers(0, 99, 512))
+        pred = lambda k, p: p < 50
+        q = scan(b).filter(pred).order_by("key", descending=True).limit(5)
+        assert "validity mask" in q.explain(mesh=mesh)
+        r = q.execute(mesh=mesh)
+        sel = np.asarray(pred(b.keys, b.payloads))
+        want = np.sort(np.asarray(b.keys)[sel])[::-1][:5]
+        assert int(r.count) == 5
+        np.testing.assert_array_equal(np.asarray(r.table.keys), want)
+        # survivors < k: live prefix shrinks
+        q2 = (
+            scan(b).filter(lambda k, p: p == 7)
+            .order_by("key", descending=True).limit(5)
+        )
+        r2 = q2.execute(mesh=mesh)
+        sel2 = np.asarray(b.payloads) == 7
+        n2 = min(5, int(sel2.sum()))
+        assert int(r2.count) == n2
+        np.testing.assert_array_equal(
+            np.asarray(r2.table.keys)[:n2],
+            np.sort(np.asarray(b.keys)[sel2])[::-1][:n2],
+        )
+
     def test_mesh_join_group_by(self, mesh):
         rng = np.random.default_rng(53)
         a = _t(rng.integers(0, 40, 64), rng.integers(1, 9, 64))
