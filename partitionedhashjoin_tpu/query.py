@@ -485,7 +485,16 @@ def _order_col_key(col, descending):
 
 
 def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
-    if ctx.mesh is not None:
+    if ctx.mesh is not None and isinstance(core, _Join):
+        # join tail: the distributed materialize already returns a
+        # replicated prefix-compacted relation, so the ordinary local
+        # order_by/limit tail below applies to it unchanged (it reads
+        # t.prefix_count); fall through.
+        steps.append(
+            "join tail on mesh -> local order/limit over the gathered "
+            "replicated join output"
+        )
+    elif ctx.mesh is not None:
         if order is None or limit_k is None or not _mesh_side_ok(core):
             raise PlanError(
                 "mesh table-stage plans support "
@@ -534,7 +543,14 @@ def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
 
             t = inner()
             k = min(limit_k, t.keys.shape[0])
-            if t.mask is None:
+            if t.mask is None and t.prefix_count is not None:
+                # already prefix-compacted (a materialized join): the head
+                # is the slice, but the live count caps at the prefix
+                cnt = jnp.minimum(
+                    jnp.asarray(k, jnp.int32), t.prefix_count
+                )
+                keys, pays = t.keys[:k], t.pays[:k]
+            elif t.mask is None:
                 cnt = jnp.asarray(k, jnp.int32)
                 keys, pays = t.keys[:k], t.pays[:k]
             else:

@@ -499,6 +499,30 @@ class TestMesh:
             keys, pb, matched, n
         )
 
+    def test_mesh_join_order_by_limit(self, mesh):
+        # join tail: order/limit runs locally over the gathered
+        # replicated join output; matches the single-device plan
+        rng = np.random.default_rng(69)
+        a = _t(rng.integers(0, 40, 64), rng.integers(1, 9, 64))
+        b = _t(rng.integers(0, 60, 512), rng.integers(-99, 99, 512))
+        q = (
+            scan(b).join(scan(a))
+            .order_by("payload", descending=True).limit(4)
+        )
+        r = q.execute(mesh=mesh)
+        r1 = q.execute()
+        assert int(r.count) == int(r1.count)
+        np.testing.assert_array_equal(
+            np.asarray(r.table.payloads), np.asarray(r1.table.payloads)
+        )
+        # limit-without-order: the live count caps at the joined-row
+        # prefix, not at k (regression: run_head ignored prefix_count)
+        one = _t([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8])
+        tiny = _t([1, 0, 0, 0, 0, 0, 0, 0], [5, 0, 0, 0, 0, 0, 0, 0])
+        qh = scan(tiny).join(scan(one)).limit(5)
+        for res in (qh.execute(), qh.execute(mesh=mesh)):
+            assert int(res.count) == 1
+
     def test_mesh_unsupported_shapes_raise(self, mesh):
         t = _t([1, 2, 3, 4, 5, 6, 7, 8], [1, 2, 3, 4, 5, 6, 7, 8])
         with pytest.raises(PlanError):  # carry="build" stays single-device
