@@ -27,9 +27,12 @@ the per-thread match counters summed at join end,
 src/NoPartitioning/HashJoin.hpp:292-300); this is the engine-extension
 operator (ops/aggregate.py) made mesh-parallel.
 
-COUNT DISTINCT and group_of_row are single-device features (documented:
-distinct of a payload cannot be merged from per-shard distinct counts
-without exchanging the payload sets themselves).
+group_of_row is a single-device feature.  COUNT DISTINCT takes the
+row-exchange plan instead of the combiner (``with_distinct=True``):
+distinct of a payload cannot be merged from per-shard distinct counts,
+so rows travel to their key's owner shard and one local distinct
+aggregate runs there — exact by construction, with the capacity retries
+absorbing skew (see ``_row_exchange_aggregate``).
 """
 
 from __future__ import annotations
@@ -272,11 +275,17 @@ class DistributedAggregateOperator:
         table: Table,
         group_capacity: Optional[int] = None,
         mask=None,
+        with_distinct: bool = False,
     ) -> GroupByResult:
         """``mask``: optional per-row validity (a pushed-down FILTER — the
         query layer's R2 rule); masked-out rows are excluded exactly, via
         the same validity column that already absorbs the shard padding,
-        so a distributed filter→GROUP BY costs zero extra passes."""
+        so a distributed filter→GROUP BY costs zero extra passes.
+
+        ``with_distinct``: exact COUNT(DISTINCT payload) per group via the
+        row-exchange plan (``_row_exchange_aggregate``) — per-shard
+        distinct counts cannot be merged, so rows (not partials) travel
+        to their key's owner shard; the capacity retries absorb skew."""
         if table.keys.dtype != jnp.int32 or table.payloads.dtype != jnp.int32:
             raise TypeError(
                 "distributed aggregate is int32-only (keys "
@@ -310,6 +319,10 @@ class DistributedAggregateOperator:
                 )
             valid = valid & m
         per_shard = padded // s
+        if with_distinct:
+            return self._run_distinct(
+                keys, pays, valid, n, per_shard, group_capacity
+            )
         hint = per_shard if group_capacity is None else min(
             group_capacity, per_shard
         )
@@ -366,3 +379,152 @@ class DistributedAggregateOperator:
             f"aggregate capacity overflow persisted after "
             f"{self._max_retries} retries (final slack {slack:.1f})"
         )
+
+    def _run_distinct(
+        self, keys, pays, valid, n: int, per_shard: int,
+        group_capacity: Optional[int],
+    ) -> GroupByResult:
+        """Exact COUNT DISTINCT: row exchange + local distinct aggregate
+        (see ``_row_exchange_aggregate`` for why rows must travel)."""
+        s = self._num_shards
+        hint = per_shard if group_capacity is None else min(
+            group_capacity, s * per_shard
+        )
+        cap_groups = max(16, hint)
+        slack = self._slack
+        for _ in range(self._max_retries):
+            # per-destination bucket capacity; a shard cannot send more
+            # than its own rows to one destination
+            cap_rows = max(16, min(int(per_shard / s * slack + 1), per_shard))
+            cap_groups = min(cap_groups, s * cap_rows)
+            gk, gc, gs, gmn, gmx, gd, g_nums, dropped, g_need = (
+                _row_exchange_aggregate(
+                    self._mesh, keys, pays, valid, self._shard_seed,
+                    cap_rows, cap_groups,
+                )
+            )
+            dropped, g_need = (
+                int(jax.device_get(dropped)),
+                int(jax.device_get(g_need)),
+            )
+            if dropped == 0 and g_need <= cap_groups:
+                k, c, sm, mn, mx, d, count = _gather_groups_distinct(
+                    gk, gc, gs, gmn, gmx, gd, g_nums,
+                    cap_groups=cap_groups,
+                )
+                num = jnp.asarray(count, jnp.int32)
+                self._logger.info(
+                    "Number of groups: %d", int(jax.device_get(num))
+                )
+                return GroupByResult(
+                    keys=k, count=c, sum=sm, min=mn, max=mx,
+                    num_groups=num,
+                    group_of_row=jnp.full((n,), -1, jnp.int32),
+                    distinct=d,
+                )
+            self._logger.info(
+                "distinct-plan overflow (dropped=%d, group need=%d/%d) at "
+                "slack %.1f; retrying",
+                dropped, g_need, cap_groups, slack,
+            )
+            if dropped:
+                slack *= 2
+            if g_need > cap_groups:
+                cap_groups = max(g_need, cap_groups * 2)
+        raise RuntimeError(
+            f"distinct-plan capacity overflow persisted after "
+            f"{self._max_retries} retries"
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "cap_rows", "cap_groups")
+)
+def _row_exchange_aggregate(
+    mesh: Mesh, keys, pays, valid, shard_seed,
+    cap_rows: int, cap_groups: int,
+):
+    """Row-exchange plan (the distinct path): hash-route ROWS to their
+    key's owner shard, then one local sort-aggregate with
+    ``with_distinct=True`` — every group's rows (and payload values) meet
+    at one shard, so distinct counts are exact by construction.
+
+    This is the plan the combiner design deliberately avoids for the
+    additive aggregates (module docstring): it moves the whole relation
+    and a Zipf head's owner receives every one of its rows.  COUNT
+    DISTINCT fundamentally needs the payload SETS together (per-shard
+    distinct counts cannot be merged), so the row exchange is the honest
+    price of exactness — and the capacity-retry contract absorbs the
+    skew (the hot shard's bucket capacity grows until it fits).
+    """
+
+    def local(keys, pays, valid, shard_seed):
+        num_shards = jax.lax.axis_size(SHARD_AXIS)
+        seed = shard_seed[0]
+        dest = hashing.bucket(hashing.hash32(keys[0], seed), num_shards)
+        bk, bp, bv, dropped = _bucketize(
+            dest, valid[0], cap_rows, num_shards, keys[0], pays[0]
+        )
+
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x.reshape(num_shards, -1),
+                SHARD_AXIS,
+                split_axis=0,
+                concat_axis=0,
+            ).reshape(-1)
+
+        rk, rp, rv = a2a(bk), a2a(bp), a2a(bv)
+        g = _sort_group_and_aggregate(
+            rk, rp, cap_groups,
+            valid=rv, has_valid=True,
+            kernel_compaction=False, sort_impl="xla",
+            with_distinct=True,
+        )
+        return (
+            g.keys[None], g.count[None], g.sum[None],
+            g.min[None], g.max[None], g.distinct[None],
+            g.num_groups[None],
+            jax.lax.psum(dropped, SHARD_AXIS),
+            jax.lax.pmax(g.num_groups, SHARD_AXIS),
+        )
+
+    sh = P(SHARD_AXIS)
+    rep = P()
+    return _shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(sh, sh, sh, rep),
+        out_specs=(sh, sh, sh, sh, sh, sh, sh, rep, rep),
+        check_vma=False,
+    )(
+        keys.reshape(mesh.devices.size, -1),
+        pays.reshape(mesh.devices.size, -1),
+        valid.reshape(mesh.devices.size, -1),
+        jnp.reshape(shard_seed, (1,)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap_groups",))
+def _gather_groups_distinct(gk, gc, gs, gmn, gmx, gd, g_nums,
+                            cap_groups: int):
+    """Like ``_gather_groups`` with the distinct column riding along."""
+    from partitionedhashjoin_tpu.ops.filter import compact_sort
+
+    slot = jnp.arange(cap_groups, dtype=jnp.int32)
+    valid = (slot[None, :] < g_nums[:, None]).reshape(-1)
+    count, k, c, s, mn, mx, d = compact_sort(
+        valid, gk.reshape(-1), gc.reshape(-1), gs.reshape(-1),
+        gmn.reshape(-1), gmx.reshape(-1), gd.reshape(-1),
+    )
+    live = jnp.arange(k.shape[0], dtype=jnp.int32) < count
+    zero = jnp.int32(0)
+    return (
+        jnp.where(live, k, zero),
+        jnp.where(live, c, zero),
+        jnp.where(live, s, zero),
+        jnp.where(live, mn, zero),
+        jnp.where(live, mx, zero),
+        jnp.where(live, d, zero),
+        count,
+    )

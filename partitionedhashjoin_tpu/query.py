@@ -653,10 +653,11 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
     wd = node.with_distinct
 
     if ctx.mesh is not None:
-        if wd:
+        if wd and isinstance(child, _Join):
             raise PlanError(
-                "with_distinct is single-device only (the distributed "
-                "combiner merges partial distinct counts lossily)"
+                "mesh join->group_by(with_distinct) is not supported "
+                "(hot-key probe rows stay sharded, so their payload sets "
+                "never meet); compose it single-device"
             )
         if isinstance(child, _Join):
             join = child
@@ -700,6 +701,9 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
             return run_mesh_join
         inner = _exec_table(child, ctx, steps)
         steps.append(
+            "group_by -> distributed row-exchange aggregate with exact "
+            "COUNT DISTINCT (payload sets meet at the owner shard) (R6)"
+            if wd else
             "group_by -> distributed combiner-plan aggregate (local "
             "sort-aggregate, hash-routed partials, psum-exact) (R6)"
         )
@@ -713,7 +717,8 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
             t = inner()
             op = DistributedAggregateOperator(mesh, seed=0x5EED)
             return op.run(
-                make_table(t.keys, t.pays), group_capacity=cap, mask=t.mask
+                make_table(t.keys, t.pays), group_capacity=cap,
+                mask=t.mask, with_distinct=wd,
             )
 
         return run_mesh

@@ -539,12 +539,34 @@ class TestMesh:
             )
         with pytest.raises(PlanError):  # full join stays single-device
             scan(t).join(scan(t), join_type="full").execute(mesh=mesh)
-        with pytest.raises(PlanError):
-            scan(t).group_by(with_distinct=True).execute(mesh=mesh)
-        with pytest.raises(PlanError):
+        with pytest.raises(PlanError):  # hot probe rows stay sharded
             scan(t).join(scan(t)).group_by(
                 with_distinct=True
             ).execute(mesh=mesh)
+
+    def test_mesh_group_by_distinct(self, mesh):
+        # exact distributed COUNT DISTINCT via the row-exchange plan
+        rng = np.random.default_rng(71)
+        b = _t(rng.integers(0, 20, 640), rng.integers(0, 7, 640))
+        q = scan(b).group_by(with_distinct=True)
+        assert "row-exchange" in q.explain(mesh=mesh)
+        g = q.execute(mesh=mesh)
+        g1 = q.execute()
+        n, n1 = int(g.num_groups), int(g1.num_groups)
+        assert n == n1
+        want = {
+            int(k): int(d)
+            for k, d in zip(
+                np.asarray(g1.keys)[:n1], np.asarray(g1.distinct)[:n1]
+            )
+        }
+        got = {
+            int(k): int(d)
+            for k, d in zip(
+                np.asarray(g.keys)[:n], np.asarray(g.distinct)[:n]
+            )
+        }
+        assert got == want
 
 
 class TestExplain:
