@@ -851,12 +851,8 @@ def _exec_join_group(join: _Join, gb: _GroupBy, ctx: _Ctx, steps: list):
         return run_kernel
 
     jt = join.join_type
-    steps.append(
-        f"join[{jt}] + group_by -> typed materializer (masks, R2), then "
-        "sorting aggregate over the compacted join output"
-    )
 
-    def run_typed():
+    def _typed_body(b, p):
         from partitionedhashjoin_tpu.ops.aggregate import (
             filter_sort_aggregate,
         )
@@ -864,7 +860,6 @@ def _exec_join_group(join: _Join, gb: _GroupBy, ctx: _Ctx, steps: list):
             sort_merge_materialize_typed,
         )
 
-        b, p = build(), probe()
         keys, pa, pb, matched, count = sort_merge_materialize_typed(
             b.keys, b.pays, p.keys, p.pays, jt,
             build_valid=b.mask, probe_valid=p.mask,
@@ -880,10 +875,119 @@ def _exec_join_group(join: _Join, gb: _GroupBy, ctx: _Ctx, steps: list):
         )
         return g
 
+    staged = (
+        jt == "inner"
+        and _mesh_side_ok(join.build)
+        and _mesh_side_ok(join.probe)
+        and _kernel_ok(_scan_dtype(join.probe), ctx)
+        and _kernel_ok(_scan_dtype(join.build), ctx)
+        and not jax.config.jax_enable_x64
+    )
+    if staged:
+        # R7 = R5 ∘ R3: stage the filters OUT of the join instead of
+        # masking the typed materializer.  The probe filter pays one
+        # Pallas block-compaction pass (no relation sort), invalid rows
+        # re-key to sentinels, and the plain kernel pipeline then runs
+        # on the survivors — its sorts scale with selectivity and the
+        # GROUP BY stays sort-free (aggregate_sorted).  The two sides
+        # use OPPOSITE sentinels (probe→INT32_MAX, build→INT32_MIN) so
+        # injected rows can never match each other; exactness guard:
+        # either extreme present in either original key column would
+        # collide with a sentinel, so such inputs take the typed path
+        # (one fused reduction to check).
+        steps.append(
+            "join[inner] + group_by -> staged: Pallas block-compaction "
+            "of the filtered probe, invalid rows re-keyed to opposite "
+            "sentinels, kernel materializer + aggregate_sorted on the "
+            "survivors (R7 = R5∘R3; int32-extreme keys fall back to the "
+            "typed path)"
+        )
+
+        def run_staged():
+            from partitionedhashjoin_tpu.ops.aggregate import (
+                _staged_filter,
+                aggregate_sorted,
+            )
+            from partitionedhashjoin_tpu.ops.merge_join import (
+                two_run_materialize,
+            )
+            from partitionedhashjoin_tpu.ops.pallas.bitonic_sort import BLK
+
+            b, p = build(), probe()
+            i32max = jnp.iinfo(jnp.int32).max
+            i32min = jnp.iinfo(jnp.int32).min
+
+            def _has_extreme(k):
+                return jnp.any((k == i32max) | (k == i32min))
+
+            if (
+                b.pays.dtype != jnp.int32
+                or p.pays.dtype != jnp.int32
+                or bool(
+                    jax.device_get(
+                        _has_extreme(b.keys) | _has_extreme(p.keys)
+                    )
+                )
+            ):
+                return _typed_body(b, p)
+            bk = (
+                jnp.where(b.mask, b.keys, i32min)
+                if b.mask is not None else b.keys
+            )
+            if p.mask is not None:
+                n = p.keys.shape[0]
+                aligned_total, pos, keys_c, pay_c = _staged_filter(
+                    p.keys, p.pays, p.mask, interpret=ctx.interpret
+                )
+                total = int(jax.device_get(aligned_total))
+                # bucketed static slice, ≤17 program shapes (the staged
+                # aggregate's dispatch idiom, filter_sort_aggregate_staged)
+                chunk = max(BLK, -(-(n // 16) // BLK) * BLK)
+                size = min(max(-(-total // chunk) * chunk, BLK), pos.shape[0])
+                pos_s = jax.lax.slice_in_dim(pos, 0, size)
+                keys_s = jax.lax.slice_in_dim(keys_c, 0, size)
+                pay_s = jax.lax.slice_in_dim(pay_c, 0, size)
+                # alignment sentinels (pos<0) and the undefined tail
+                # (>= aligned_total) re-key to INT32_MAX: they match
+                # nothing, so the materializer drops them for free
+                valid = (pos_s >= 0) & (
+                    jnp.arange(size, dtype=jnp.int32) < aligned_total
+                )
+                keys_s = jnp.where(valid, keys_s, i32max)
+            else:
+                keys_s, pay_s = p.keys, p.pays
+            keys, pa, pb, count = two_run_materialize(
+                bk, b.pays, keys_s, pay_s,
+                interpret=ctx.interpret,
+                probe_payload_sorted=(carry == "probe"),
+            )
+            pays = pb if carry == "probe" else pa
+            return aggregate_sorted(
+                make_table(keys, pays),
+                group_capacity=cap,
+                n_valid=count,
+                interpret=ctx.interpret,
+                payload_sorted=True,
+                with_distinct=wd,
+            )
+
+        return run_staged
+
+    steps.append(
+        f"join[{jt}] + group_by -> typed materializer (masks, R2), then "
+        "sorting aggregate over the compacted join output"
+    )
+
+    def run_typed():
+        b, p = build(), probe()
+        return _typed_body(b, p)
+
     return run_typed
 
 
 def _scan_dtype(node):
+    while isinstance(node, _Filter):
+        node = node.child
     assert isinstance(node, _Scan)
     return node.table.keys.dtype
 

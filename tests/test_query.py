@@ -248,6 +248,61 @@ class TestGroupBy:
         )
         assert _group_dict(g) == want
 
+    def test_join_group_by_staged_filter_kernel(self):
+        # R7 = R5∘R3: filtered join→GROUP BY stages the Pallas block
+        # compaction, re-keys invalid build rows to the sentinel, and
+        # runs the plain kernel pipeline on the survivors — exact vs the
+        # typed-materializer plan (shape discipline: n_b=8192 reuses the
+        # interpret kernel programs other tests compile)
+        rng = np.random.default_rng(77)
+        n_a, n_b = 2048, 8192
+        a = _t(rng.integers(0, 4000, n_a), rng.integers(0, 100, n_a))
+        b = _t(rng.integers(0, 5000, n_b), rng.integers(-100, 100, n_b))
+        bp = lambda k, p: p % 2 == 0
+        ap = lambda k, p: p != 7
+        q = scan(b).filter(bp).join(scan(a).filter(ap)).group_by()
+        plan = q.explain(interpret=True)
+        assert "R7" in plan and "staged" in plan
+        g = q.execute(interpret=True)  # staged kernel path
+        g2 = q.execute()  # typed path (no Mosaic on CPU, not interpret)
+        n = int(g.num_groups)
+        assert n == int(g2.num_groups)
+        assert _group_dict(g) == _group_dict(g2)
+        # oracle from numpy
+        ak = np.unique(
+            np.asarray(a.keys)[np.asarray(ap(a.keys, a.payloads))]
+        )
+        sel = np.asarray(bp(b.keys, b.payloads)) & np.isin(
+            np.asarray(b.keys), ak
+        )
+        want = _np_group(
+            np.asarray(b.keys)[sel], np.asarray(b.payloads)[sel]
+        )
+        assert _group_dict(g) == want
+
+    def test_join_group_by_staged_sentinel_fallback(self):
+        # INT32_MAX present in a key column: the staged plan must fall
+        # back to the typed path at runtime and stay exact
+        rng = np.random.default_rng(79)
+        n_a, n_b = 2048, 8192
+        ak = rng.integers(0, 50, n_a).astype(np.int32)
+        ak[0] = np.iinfo(np.int32).max
+        bk = rng.integers(0, 60, n_b).astype(np.int32)
+        bk[:16] = np.iinfo(np.int32).max  # matching probe rows too
+        a = _t(ak, rng.integers(0, 100, n_a))
+        b = _t(bk, rng.integers(-100, 100, n_b))
+        bp = lambda k, p: p % 2 == 0
+        q = scan(b).filter(bp).join(scan(a)).group_by()
+        g = q.execute(interpret=True)
+        sel = np.asarray(bp(b.keys, b.payloads)) & np.isin(
+            bk, np.unique(ak)
+        )
+        want = _np_group(bk[sel], np.asarray(b.payloads)[sel])
+        assert _group_dict(g) == want
+        assert any(
+            int(k) == np.iinfo(np.int32).max for k in want
+        ), "test must exercise a genuine INT32_MAX group"
+
     def test_join_group_by_typed_path(self):
         # probe-side filter forces the typed materializer path
         a, b, _ = _rand_tables(29, n_a=40, n_b=300, key_hi=30)
