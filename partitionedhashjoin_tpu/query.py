@@ -36,10 +36,19 @@ Physical rewrite rules (each measured in docs/PERFORMANCE.md):
       aggregate's sort touches only surviving rows
       (``filter_sort_aggregate_staged``).
   R6  the same logical plan executes on a ``jax.sharding.Mesh``: GROUP BY
-      maps to the combiner-plan distributed aggregate, count joins to the
-      shuffle join, ORDER BY … LIMIT to the distributed top-k, and
-      JOIN → GROUP BY to the one-shuffle join-aggregate (the join
-      exchange co-partitions the groups; parallel/join_aggregate.py).
+      maps to the combiner-plan distributed aggregate (with_distinct to
+      the row-exchange plan), count joins to the shuffle join,
+      materializing joins (inner/semi/anti/left) to the distributed
+      materializer, ORDER BY … LIMIT to the (mask-aware) distributed
+      top-k, and JOIN → GROUP BY to the one-shuffle join-aggregate (the
+      join exchange co-partitions the groups;
+      parallel/join_aggregate.py).  Filters push into the exchange
+      bucketizer everywhere — invalid rows never travel.
+  R7  filtered JOIN → GROUP BY composes R5 with R3: block-compact the
+      filtered probe, re-key invalid rows to opposite sentinels
+      (probe INT32_MAX, build INT32_MIN — they can never match), and run
+      the plain kernel pipeline on the survivors; int32-extreme inputs
+      fall back to the typed path at runtime.
 
 Everything here is host-side planning; all device work happens inside the
 operator modules this planner dispatches to.
