@@ -28,6 +28,7 @@ Details per phase go to stderr; stdout carries only the JSON line.
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -57,6 +58,50 @@ BASELINE_ROWS_PER_S = 200e6 / 1.196
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+#: Best result seen so far, updated as each algo completes; the deadline
+#: watchdog emits this if the run would otherwise overshoot the driver's
+#: timeout (round 4 lost its bench record to a cold-cache compile chain
+#: that exceeded the external timeout: BENCH_r04.json rc=124, no JSON).
+_progress: dict = {"best": None, "done": False, "stage": "import"}
+
+
+def _emit(best, extra) -> None:
+    algo, rows_per_s = best
+    payload = {
+        "metric": f"join_rows_per_s_{algo}_{extra['n_a']}x{extra['n_b']}"
+        f"_skew{extra['skew']}",
+        "value": round(rows_per_s),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
+        **{k: v for k, v in extra.items() if k not in ("n_a", "n_b", "skew")},
+    }
+    print(json.dumps(payload), flush=True)
+
+
+def _watchdog(deadline_s: float) -> None:
+    """Emit the best completed measurement if the run overshoots deadline_s.
+
+    Remote compiles cost 30-200 s each and a fully cold cache can push the
+    whole run past the external driver's timeout; a partial-but-honest JSON
+    line (first algo only) beats a killed process with no line at all.
+    The thread never fires when main() finishes in time (done flag).
+    """
+    t_end = time.monotonic() + deadline_s
+    while time.monotonic() < t_end:
+        time.sleep(5)
+        if _progress["done"]:
+            return
+    if _progress["done"]:
+        return
+    best = _progress.get("best")
+    if best is not None:
+        log(f"DEADLINE hit at stage {_progress['stage']}; emitting best-so-far")
+        _emit(best, _progress["extra"])
+        os._exit(0)
+    log(f"DEADLINE hit at stage {_progress['stage']}; nothing measured yet")
+    os._exit(3)
 
 
 def make_joiner(name: str, seed: int):
@@ -132,7 +177,13 @@ def main() -> None:
     n_b = int(os.environ.get("PHJ_BENCH_SECONDARY", 200_000_000))
     skew = float(os.environ.get("PHJ_BENCH_SKEW", 1.05))
     algos = os.environ.get("PHJ_BENCH_ALGOS", "sort-merge,radix").split(",")
+    deadline_s = float(os.environ.get("PHJ_BENCH_DEADLINE_S", 2400))
+    threading.Thread(
+        target=_watchdog, args=(deadline_s,), daemon=True
+    ).start()
+    _progress["stage"] = "device-init"
     log(f"device: {jax.devices()[0]}; workload {n_a} ⋈ {n_b}, skew {skew}")
+    _progress["stage"] = "generate"
 
     t0 = time.perf_counter()
     table_a = sequential_table(n_a)
@@ -199,9 +250,11 @@ def main() -> None:
     best = None
     roofline_json = {}
     for algo in algos:
+        _progress["stage"] = f"{algo}-warmup"
         joiner = make_joiner(algo, seed=7)
         count = joiner.run(table_a, table_b)  # warmup/compile
         assert count == n_b, f"{algo}: count {count} != {n_b}"
+        _progress["stage"] = f"{algo}-measure"
         timer = HashJoinTimer(Parameters())
         t0 = time.perf_counter()
         count = joiner.run(table_a, table_b, timer)
@@ -224,22 +277,20 @@ def main() -> None:
         rows_per_s = n_b / total_s
         if best is None or rows_per_s > best[1]:
             best = (algo, rows_per_s)
+        _progress["extra"] = {
+            "n_a": n_a,
+            "n_b": n_b,
+            "skew": skew,
+            "generation_path": gen_path,
+            "sort_impl": sort_impl,
+            "roofline_fraction_single_touch": dict(roofline_json),
+        }
+        _progress["best"] = best
 
     algo, rows_per_s = best
     log(f"best: {algo}")
-    print(
-        json.dumps(
-            {
-                "metric": f"join_rows_per_s_{algo}_{n_a}x{n_b}_skew{skew}",
-                "value": round(rows_per_s),
-                "unit": "rows/s",
-                "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
-                "generation_path": gen_path,
-                "sort_impl": sort_impl,
-                "roofline_fraction_single_touch": roofline_json,
-            }
-        )
-    )
+    _progress["done"] = True
+    _emit(best, _progress["extra"])
 
 
 if __name__ == "__main__":

@@ -82,14 +82,25 @@ def _dist_top_k_masked(mesh: Mesh, keys, pays, valid, k: int, by: str,
         other = pays[0] if by == "key" else keys[0]
         ranked = _order_key(col, not descending)  # larger = better
         invalid = jnp.where(valid[0], 0, 1).astype(jnp.int32)
-        inv_s, nrank_s, other_s = jax.lax.sort(
-            (invalid, ~ranked, other), num_keys=2, is_stable=False
+        # global row position as the third sort key: rows tied on
+        # (validity, order value) resolve deterministically, so the
+        # carried column follows its row — mirrors _masked_order_impl
+        # and the unmasked lax.top_k path (which breaks ties by index)
+        n_local = col.shape[0]
+        pos = (
+            jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * n_local
+            + jnp.arange(n_local, dtype=jnp.int32)
+        )
+        inv_s, nrank_s, pos_s, other_s = jax.lax.sort(
+            (invalid, ~ranked, pos, other), num_keys=3, is_stable=False
         )
         gath = tuple(
             jax.lax.all_gather(c[:k], SHARD_AXIS, tiled=True)
-            for c in (inv_s, nrank_s, other_s)
+            for c in (inv_s, nrank_s, pos_s, other_s)
         )
-        finv, fnrank, fother = jax.lax.sort(gath, num_keys=2, is_stable=False)
+        finv, fnrank, _, fother = jax.lax.sort(
+            gath, num_keys=3, is_stable=False
+        )
         ranked_out = ~fnrank[:k]
         col_out = ~ranked_out if not descending else ranked_out
         n_valid = jax.lax.psum(
@@ -123,7 +134,7 @@ def distributed_top_k(
     by: str = "key",
     descending: bool = True,
     mask=None,
-) -> Table:
+):
     """Exact global ORDER BY ... LIMIT k of a (possibly sharded) table.
 
     Matches ``ops.order_by.top_k`` on the unsharded data (same
@@ -131,12 +142,13 @@ def distributed_top_k(
     must not exceed the per-shard row count (each shard must be able to
     hold k local candidates).
 
-    ``mask``: optional per-row validity (a pushed-down FILTER, query.py
-    R2/R6).  With a mask the result is ``(table, n_live)`` where
-    ``n_live = min(k, #valid rows)`` is the live prefix of the k-row
-    table (rows past it are zeroed) — fewer than k rows may survive the
+    Returns ``(table, n_live)`` where ``n_live`` is the live prefix of
+    the k-row table (rows past it are zeroed).  Without a mask,
+    ``n_live == k``; with one (a pushed-down FILTER, query.py R2/R6)
+    ``n_live = min(k, #valid rows)`` — fewer than k rows may survive the
     filter, and an invalid row can never be selected (validity-dominant
-    sort, see ``_dist_top_k_masked``).
+    sort, see ``_dist_top_k_masked``).  The return shape is the same
+    either way so callers can start passing a mask without a type change.
     """
     if by not in ("key", "payload"):
         raise ValueError(f"by must be 'key' or 'payload', got {by!r}")
@@ -178,6 +190,7 @@ def distributed_top_k(
     col, other, _ = _dist_top_k(mesh, keys, pays, valid, k, by, descending)
     # every shard computed the same replicated answer; take shard 0's copy
     col, other = col[0], other[0]
-    if by == "key":
-        return make_table(col, other)
-    return make_table(other, col)
+    out = (
+        make_table(col, other) if by == "key" else make_table(other, col)
+    )
+    return out, jnp.asarray(k, jnp.int32)

@@ -151,6 +151,22 @@ class _T:
             return jnp.asarray(self.keys.shape[0], jnp.int32)
         return jnp.sum(self.mask.astype(jnp.int32))
 
+    def effective_mask(self) -> Optional[jax.Array]:
+        """Validity as one mask, folding ``prefix_count`` in (None = all
+        rows valid).  Every consumer of a side's validity (filters, join
+        build/probe masks, aggregates) must use THIS, not ``.mask``: a
+        materialized join's output carries its validity only as
+        ``prefix_count``, and reading ``.mask`` alone would turn its
+        zero-padding tail into real rows."""
+        m = self.mask
+        if self.prefix_count is not None:
+            pm = (
+                jnp.arange(self.keys.shape[0], dtype=jnp.int32)
+                < self.prefix_count
+            )
+            m = pm if m is None else (m & pm)
+        return m
+
 
 @dataclasses.dataclass
 class TableResult:
@@ -322,8 +338,9 @@ def _exec_table(node, ctx: _Ctx, steps: list) -> Callable[[], _T]:
         def run():
             t = inner()
             m = jnp.asarray(pred(t.keys, t.pays), jnp.bool_)
-            if t.mask is not None:
-                m = m & t.mask
+            em = t.effective_mask()  # folds a join output's prefix_count
+            if em is not None:
+                m = m & em
             return _T(t.keys, t.pays, m)
 
         return run
@@ -388,8 +405,8 @@ def _exec_join_rows(node: _Join, ctx: _Ctx, steps: list):
                 make_table(b.keys, b.pays),
                 make_table(p.keys, p.pays),
                 jt,
-                build_valid=b.mask,
-                probe_valid=p.mask,
+                build_valid=b.effective_mask(),
+                probe_valid=p.effective_mask(),
             )
             pays = (
                 joined.payloads_b if carry == "probe"
@@ -415,7 +432,8 @@ def _exec_join_rows(node: _Join, ctx: _Ctx, steps: list):
         b, p = build(), probe()
         keys, pa, pb, matched, count = sort_merge_materialize_typed(
             b.keys, b.pays, p.keys, p.pays, jt,
-            build_valid=b.mask, probe_valid=p.mask,
+            build_valid=b.effective_mask(),
+            probe_valid=p.effective_mask(),
         )
         pays = pb if carry == "probe" else pa
         t = _T(keys, pays, prefix_count=count)
@@ -528,18 +546,12 @@ def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
             )
 
             t = inner()
-            if t.mask is not None:
-                out, n_live = distributed_top_k(
-                    mesh, make_table(t.keys, t.pays), limit_k,
-                    by=order.by, descending=order.descending,
-                    mask=t.mask,
-                )
-                return TableResult(out, n_live)
-            out = distributed_top_k(
+            out, n_live = distributed_top_k(
                 mesh, make_table(t.keys, t.pays), limit_k,
                 by=order.by, descending=order.descending,
+                mask=t.effective_mask(),
             )
-            return TableResult(out, jnp.asarray(limit_k, jnp.int32))
+            return TableResult(out, n_live)
 
         return _Plan(steps, run_mesh)
 
@@ -751,8 +763,9 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
 
             t = inner()
             mask = jnp.asarray(pred(t.keys, t.pays), jnp.bool_)
-            if t.mask is not None:
-                mask = mask & t.mask
+            em = t.effective_mask()
+            if em is not None:
+                mask = mask & em
             staged = (
                 t.keys.dtype == jnp.int32 and t.pays.dtype == jnp.int32
             )
@@ -781,14 +794,8 @@ def _exec_group(node: _GroupBy, ctx: _Ctx, steps: list):
         )
 
         t = inner()
-        if t.mask is not None or t.prefix_count is not None:
-            if t.mask is not None:
-                mask = t.mask
-            else:
-                mask = (
-                    jnp.arange(t.keys.shape[0], dtype=jnp.int32)
-                    < t.prefix_count
-                )
+        mask = t.effective_mask()
+        if mask is not None:
             g, _ = filter_sort_aggregate(
                 make_table(t.keys, t.pays),
                 lambda k, p: mask,
@@ -871,7 +878,8 @@ def _exec_join_group(join: _Join, gb: _GroupBy, ctx: _Ctx, steps: list):
 
         keys, pa, pb, matched, count = sort_merge_materialize_typed(
             b.keys, b.pays, p.keys, p.pays, jt,
-            build_valid=b.mask, probe_valid=p.mask,
+            build_valid=b.effective_mask(),
+            probe_valid=p.effective_mask(),
         )
         pays = pb if carry == "probe" else pa
         live = jnp.arange(keys.shape[0], dtype=jnp.int32) < count
@@ -939,14 +947,15 @@ def _exec_join_group(join: _Join, gb: _GroupBy, ctx: _Ctx, steps: list):
                 )
             ):
                 return _typed_body(b, p)
+            b_em, p_em = b.effective_mask(), p.effective_mask()
             bk = (
-                jnp.where(b.mask, b.keys, i32min)
-                if b.mask is not None else b.keys
+                jnp.where(b_em, b.keys, i32min)
+                if b_em is not None else b.keys
             )
-            if p.mask is not None:
+            if p_em is not None:
                 n = p.keys.shape[0]
                 aligned_total, pos, keys_c, pay_c = _staged_filter(
-                    p.keys, p.pays, p.mask, interpret=ctx.interpret
+                    p.keys, p.pays, p_em, interpret=ctx.interpret
                 )
                 total = int(jax.device_get(aligned_total))
                 # bucketed static slice, ≤17 program shapes (the staged
@@ -1169,8 +1178,8 @@ def _count_join(node: _Join, ctx: _Ctx, steps: list):
                 joiner.run(
                     make_table(b.keys, b.pays),
                     make_table(p.keys, p.pays),
-                    valid_a=b.mask,
-                    valid_b=p.mask,
+                    valid_a=b.effective_mask(),
+                    valid_b=p.effective_mask(),
                 ),
                 jnp.int32,
             )
@@ -1191,30 +1200,31 @@ def _count_join(node: _Join, ctx: _Ctx, steps: list):
         )
 
         b, p = build(), probe()
+        b_em, p_em = b.effective_mask(), p.effective_mask()
 
         def match_count():
             if _kernel_ok(b.keys.dtype, ctx) and _kernel_ok(
                 p.keys.dtype, ctx
             ):
                 return two_run_count(
-                    b.keys, p.keys, build_valid=b.mask, probe_valid=p.mask,
+                    b.keys, p.keys, build_valid=b_em, probe_valid=p_em,
                     interpret=ctx.interpret,
                 )
             return sort_merge_count(
-                b.keys, p.keys, build_valid=b.mask, probe_valid=p.mask
+                b.keys, p.keys, build_valid=b_em, probe_valid=p_em
             )
 
         if jt in ("inner", "semi"):
             return match_count()
         if jt == "anti":
             return anti_count(
-                b.keys, p.keys, build_valid=b.mask, probe_valid=p.mask
+                b.keys, p.keys, build_valid=b_em, probe_valid=p_em
             )
         if jt == "left":
             return p.count()
         # full: valid probe rows + unmatched valid build rows
         return p.count() + anti_count(
-            p.keys, b.keys, build_valid=p.mask, probe_valid=b.mask
+            p.keys, b.keys, build_valid=p_em, probe_valid=b_em
         )
 
     return run

@@ -182,7 +182,8 @@ class TestDistributedTopK:
         mesh = make_mesh()
         for by, desc in (("key", True), ("key", False),
                          ("payload", True), ("payload", False)):
-            d = distributed_top_k(mesh, t, 12, by=by, descending=desc)
+            d, n_live = distributed_top_k(mesh, t, 12, by=by, descending=desc)
+            assert int(n_live) == 12
             l = top_k(t, 12, by=by, descending=desc)
             np.testing.assert_array_equal(
                 np.asarray(d.keys), np.asarray(l.keys), err_msg=f"{by}{desc}"
@@ -198,7 +199,7 @@ class TestDistributedTopK:
         keys = np.arange(10, 19, dtype=np.int32)
         t = make_table(keys, keys.copy())
         mesh = make_mesh()
-        d = distributed_top_k(mesh, t, 1, by="key", descending=False)
+        d, _ = distributed_top_k(mesh, t, 1, by="key", descending=False)
         assert np.asarray(d.keys).tolist() == [10]
 
     def test_validation(self):

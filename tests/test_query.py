@@ -228,6 +228,95 @@ class TestJoins:
         )
 
 
+class TestJoinOutputValidity:
+    """A materialized join's validity lives in its prefix_count; every
+    downstream consumer must fold it in (ADVICE r4 high: .mask alone turns
+    the join's zero-padding tail into real rows)."""
+
+    def _ab(self):
+        # build: unique keys; probe: 3 matches out of 5, so the join
+        # output has a 2-row zero-padding tail (keys 0, payloads 0)
+        a = _t([1, 2, 3], [10, 20, 30])
+        b = _t([1, 2, 9, 9, 3], [2, 3, 4, 5, 7])
+        return a, b
+
+    def test_join_then_filter_count(self):
+        a, b = self._ab()
+        # predicate accepts payload 0 → buggy code counts padding rows
+        q = scan(b).join(scan(a)).filter(lambda k, p: p % 2 == 0)
+        # true joined rows (probe payload carried): 2, 3, 7 → only 2 even
+        assert q.count() == 1
+
+    def test_join_then_filter_execute_compacts(self):
+        a, b = self._ab()
+        r = (
+            scan(b).join(scan(a))
+            .filter(lambda k, p: p % 2 == 0).execute()
+        )
+        assert isinstance(r, TableResult)
+        assert int(r.count) == 1
+        assert np.asarray(r.table.keys)[0] == 1
+        assert np.asarray(r.table.payloads)[0] == 2
+
+    def test_join_into_join_no_phantom_matches(self):
+        a, b = self._ab()
+        # second build side's only key is 0 = the padding key: every
+        # padding row would phantom-match
+        c = _t([0], [5])
+        q = scan(b).join(scan(a)).join(scan(c))
+        assert q.count() == 0
+        out = scan(b).join(scan(a)).join(scan(c)).execute()
+        assert int(out.count) == 0
+        # and a build side that matches a REAL joined key still works
+        d = _t([3], [8])
+        q2 = scan(b).join(scan(a)).join(scan(d))
+        assert q2.count() == 1
+        out2 = q2.execute()
+        assert int(out2.count) == 1
+        assert np.asarray(out2.keys)[0] == 3
+
+    def test_join_as_build_side(self):
+        a, b = self._ab()
+        # join output as the BUILD side: padding key 0 must not match
+        # probe rows with key 0
+        p = _t([0, 0, 1], [1, 2, 3])
+        q = scan(p).join(scan(b).join(scan(a)))
+        assert q.count() == 1  # only the key-1 probe row
+
+    def test_join_then_group_by(self):
+        a, b = self._ab()
+        g = scan(b).join(scan(a)).group_by().execute()
+        got = _group_dict(g)
+        want = _np_group(
+            np.asarray([1, 2, 3]), np.asarray([2, 3, 7])
+        )
+        assert got == want
+
+    def test_join_then_filter_group_by(self):
+        a, b = self._ab()
+        # staged filter+group_by path with a join child: padding rows
+        # (key 0, payload 0) pass the predicate and must still drop
+        g = (
+            scan(b).join(scan(a))
+            .filter(lambda k, p: p % 2 != 0).group_by().execute()
+        )
+        got = _group_dict(g)
+        want = _np_group(np.asarray([2, 3]), np.asarray([3, 7]))
+        assert got == want
+
+    def test_join_then_order_by_limit(self):
+        a, b = self._ab()
+        # ascending by payload: padding zeros would win the top slots
+        r = (
+            scan(b).join(scan(a))
+            .order_by("payload", descending=False).limit(2).execute()
+        )
+        assert int(r.count) == 2
+        np.testing.assert_array_equal(
+            np.asarray(r.table.payloads), np.asarray([2, 3])
+        )
+
+
 class TestGroupBy:
     def test_scan_group_by(self):
         a, b, _ = _rand_tables(19)
