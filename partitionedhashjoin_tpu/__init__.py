@@ -76,6 +76,8 @@ def __getattr__(name):
         ),
         "scan": ("partitionedhashjoin_tpu.query", "scan"),
         "Query": ("partitionedhashjoin_tpu.query", "Query"),
+        "execute_sql": ("partitionedhashjoin_tpu.sql", "execute_sql"),
+        "explain_sql": ("partitionedhashjoin_tpu.sql", "explain_sql"),
     }
     if name in lazy:
         import importlib
