@@ -65,6 +65,18 @@ def log(msg: str) -> None:
 #: timeout (round 4 lost its bench record to a cold-cache compile chain
 #: that exceeded the external timeout: BENCH_r04.json rc=124, no JSON).
 _progress: dict = {"best": None, "done": False, "stage": "import"}
+#: Exactly one emitter: main and the watchdog race near the deadline, and
+#: two JSON lines (or a print truncated by os._exit) would corrupt the
+#: driver's parse — claim before emitting.
+_emit_lock = threading.Lock()
+
+
+def _claim_emit() -> bool:
+    with _emit_lock:
+        if _progress["done"]:
+            return False
+        _progress["done"] = True
+        return True
 
 
 def _emit(best, extra) -> None:
@@ -93,13 +105,15 @@ def _watchdog(deadline_s: float) -> None:
         time.sleep(5)
         if _progress["done"]:
             return
-    if _progress["done"]:
-        return
     best = _progress.get("best")
     if best is not None:
+        if not _claim_emit():
+            return  # main got there first
         log(f"DEADLINE hit at stage {_progress['stage']}; emitting best-so-far")
         _emit(best, _progress["extra"])
         os._exit(0)
+    if _progress["done"]:
+        return
     log(f"DEADLINE hit at stage {_progress['stage']}; nothing measured yet")
     os._exit(3)
 
@@ -289,8 +303,8 @@ def main() -> None:
 
     algo, rows_per_s = best
     log(f"best: {algo}")
-    _progress["done"] = True
-    _emit(best, _progress["extra"])
+    if _claim_emit():
+        _emit(best, _progress["extra"])
 
 
 if __name__ == "__main__":

@@ -559,7 +559,9 @@ class SqlResult:
 
 def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
     """Lower the statement onto the fluent query layer; returns
-    (Query, project) where project(raw_result) -> SqlResult."""
+    (Query, project, is_empty) where project(raw_result) -> SqlResult;
+    is_empty marks a LIMIT 0 statement whose project() takes no result
+    and must not execute the plan."""
     aliases: "dict[str, str]" = {}
 
     def add_alias(alias, table):
@@ -609,7 +611,20 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
             q = q.filter(_compile_expr(node))
         return q
 
-    # aggregate carry side: qualified aggregate args pick the column
+    # carried-column side: one payload column flows through joins into
+    # aggregates and order/limit tails — derive it from the statement's
+    # payload references and reject mixtures (mirrors the WHERE rules)
+    def alias_to_carry(a: str, what: str) -> str:
+        if a == stmt.from_alias:
+            return "probe"
+        if a == last_join_alias:
+            return "build"
+        raise SqlError(
+            f"{what} alias {a!r} must be the FROM table "
+            f"({stmt.from_alias!r}) or the last JOIN table "
+            f"({last_join_alias!r})"
+        )
+
     carry = "probe"
     agg_aliases = {
         it.col.alias
@@ -617,6 +632,11 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
         if it.func in ("sum", "min", "max", "avg", "count_distinct")
         and it.col is not None
     }
+    if stmt.joins and None in agg_aliases:
+        raise SqlError(
+            "qualify aggregate arguments with a table alias in a join "
+            "query (e.g. SUM(b.payload))"
+        )
     agg_aliases.discard(None)
     if agg_aliases:
         if len(agg_aliases) > 1:
@@ -624,17 +644,41 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
                 "all aggregate arguments must come from one table "
                 f"(one carried column flows): {sorted(agg_aliases)}"
             )
-        a = next(iter(agg_aliases))
-        if a == stmt.from_alias:
-            carry = "probe"
-        elif a == last_join_alias:
-            carry = "build"
-        else:
+        carry = alias_to_carry(next(iter(agg_aliases)), "aggregate column")
+    has_tail = stmt.order_by is not None or stmt.limit is not None
+    if stmt.joins and not stmt.group_by and has_tail:
+        # an order/limit tail collapses the join to ONE carried column
+        # (TableResult), unlike a bare join's 3-column JoinedTable
+        if any(it.star for it in stmt.items):
             raise SqlError(
-                f"aggregate column alias {a!r} must be the FROM table "
-                f"({stmt.from_alias!r}) or the last JOIN table "
-                f"({last_join_alias!r})"
+                "SELECT * with ORDER BY/LIMIT on a join carries a single "
+                "payload column; select key and one qualified payload "
+                "explicitly"
             )
+        row_aliases = {
+            it.col.alias
+            for it in stmt.items
+            if it.func is None and it.col is not None
+            and it.col.name == "payload"
+        }
+        if None in row_aliases:
+            raise SqlError(
+                "qualify selected payload with a table alias in a join "
+                "query"
+            )
+        if len(row_aliases) > 1:
+            raise SqlError(
+                "ORDER BY/LIMIT join queries carry one payload column; "
+                f"selected payloads span {sorted(row_aliases)}"
+            )
+        if row_aliases:
+            side = alias_to_carry(next(iter(row_aliases)), "payload")
+            if agg_aliases and side != carry:
+                raise SqlError(
+                    "selected payload and aggregate arguments disagree "
+                    "on the carried column"
+                )
+            carry = side
 
     q = side_query(stmt.from_alias)
     for j in stmt.joins:
@@ -645,14 +689,20 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
     stars = any(it.star for it in stmt.items)
     wd = any(it.func == "count_distinct" for it in stmt.items)
 
+    # LIMIT 0 is valid SQL (an empty result); the fluent layer's limit()
+    # wants a positive k, so resolve it here without executing anything
+    empty = stmt.limit == 0
+
     if stmt.group_by:
         q = q.group_by(with_distinct=wd)
+        names = _group_item_names(stmt.items)
+        if empty:
+            return q, lambda: _empty_result(names), True
         if stmt.order_by is not None:
             q = q.order_by(stmt.order_by, descending=stmt.descending)
         if stmt.limit is not None:
             q = q.limit(stmt.limit)
-        names = _group_item_names(stmt.items)
-        return q, lambda g: _project_groups(g, names)
+        return q, (lambda g: _project_groups(g, names)), False
 
     if has_aggs:
         # scalar aggregates without GROUP BY: COUNT(*) only (the R1
@@ -666,11 +716,16 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
             )
         if stmt.order_by is not None:
             raise SqlError("ORDER BY needs rows or GROUP BY")
-        if stmt.limit is not None:
-            q = q.limit(stmt.limit)
-        return q, "count"
+        if empty:
+            return q, lambda: _empty_result(["count"]), True
+        # LIMIT >= 1 is a no-op on the single aggregate row (it limits
+        # RESULT rows, not the rows counted)
+        return q, "count", False
 
     # row query
+    names = _row_item_names(stmt.items, stmt)
+    if empty:
+        return q, lambda: _empty_result(names), True
     if stmt.order_by is not None:
         if stmt.order_by not in ("key", "payload"):
             raise SqlError(
@@ -680,8 +735,13 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
         q = q.order_by(stmt.order_by, descending=stmt.descending)
     if stmt.limit is not None:
         q = q.limit(stmt.limit)
-    names = _row_item_names(stmt.items, stmt)
-    return q, lambda r: _project_rows(r, names)
+    return q, (lambda r: _project_rows(r, names)), False
+
+
+def _empty_result(names) -> SqlResult:
+    return SqlResult(
+        {n: np.empty((0,), np.int64) for n in names}, 0
+    )
 
 
 def _group_item_names(items) -> list:
@@ -710,13 +770,10 @@ def _group_item_names(items) -> list:
 
 
 def _project_groups(g, names) -> SqlResult:
+    from partitionedhashjoin_tpu.query import _group_columns
+
     n = int(jax.device_get(g.num_groups))
-    src = {
-        "key": g.keys, "count": g.count, "sum": g.sum,
-        "min": g.min, "max": g.max,
-    }
-    if g.distinct is not None:
-        src["distinct"] = g.distinct
+    src = _group_columns(g)  # {key,count,sum,min,max[,distinct]}
     cols = {}
     for name in names:
         if name == "avg":
@@ -787,14 +844,22 @@ def _project_rows(r, names) -> SqlResult:
 
 
 def plan_sql(sql: str, tables: "dict[str, Table]") -> Query:
-    """The fluent-layer Query a statement lowers to (for EXPLAIN)."""
-    q, _ = _build_plan(parse_sql(sql), tables)
+    """The fluent-layer Query a statement lowers to (for EXPLAIN).
+    For a LIMIT 0 statement this is the plan without the limit (the
+    execute path short-circuits to an empty result)."""
+    try:
+        q, _, _ = _build_plan(parse_sql(sql), tables)
+    except PlanError as e:
+        raise SqlError(str(e)) from e
     return q
 
 
 def explain_sql(sql: str, tables: "dict[str, Table]", mesh=None) -> str:
     """Physical plan of the statement (query.py EXPLAIN, rules R1-R7)."""
-    return plan_sql(sql, tables).explain(mesh=mesh)
+    try:
+        return plan_sql(sql, tables).explain(mesh=mesh)
+    except PlanError as e:  # unsupported mesh plan shapes etc.
+        raise SqlError(str(e)) from e
 
 
 def execute_sql(
@@ -804,13 +869,20 @@ def execute_sql(
     interpret: bool = False,
 ) -> SqlResult:
     """Parse, plan, and run a statement.  ``tables`` maps FROM/JOIN names
-    to relations; ``mesh`` executes on a device mesh (query.py R6)."""
+    to relations; ``mesh`` executes on a device mesh (query.py R6).
+    Raises SqlError on any lex/parse/analysis/plan failure (fluent-layer
+    PlanErrors are wrapped, per the module's one-error contract)."""
     stmt = parse_sql(sql)
-    q, project = _build_plan(stmt, tables)
-    if project == "count":
-        c = q.count(mesh=mesh, interpret=interpret)
-        return SqlResult({"count": np.asarray([c])}, 1)
-    raw = q.execute(mesh=mesh, interpret=interpret)
+    try:
+        q, project, is_empty = _build_plan(stmt, tables)
+        if is_empty:
+            return project()
+        if project == "count":
+            c = q.count(mesh=mesh, interpret=interpret)
+            return SqlResult({"count": np.asarray([c])}, 1)
+        raw = q.execute(mesh=mesh, interpret=interpret)
+    except PlanError as e:
+        raise SqlError(str(e)) from e
     return project(raw)
 
 

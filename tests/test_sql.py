@@ -269,6 +269,77 @@ class TestGroupQueries:
             execute_sql("SELECT SUM(payload) FROM b", db)
 
 
+class TestReviewFindings:
+    """Regression tests for the round-5 code-review findings."""
+
+    def _small(self):
+        a = _t([1, 2, 3], [100, 200, 300])
+        b = _t([1, 2, 3, 7], [11, 22, 33, 77])
+        return {"a": a, "b": b}
+
+    def test_build_payload_with_tail_carries_build(self):
+        db = self._small()
+        r = execute_sql(
+            "SELECT key, a.payload FROM b JOIN a USING (key) "
+            "ORDER BY key ASC LIMIT 3", db,
+        )
+        assert r.columns["payload_build"].tolist() == [100, 200, 300]
+        # and the probe-side selection still carries the probe column
+        r2 = execute_sql(
+            "SELECT key, b.payload FROM b JOIN a USING (key) "
+            "ORDER BY key ASC LIMIT 3", db,
+        )
+        assert r2.columns["payload_probe"].tolist() == [11, 22, 33]
+
+    def test_star_with_tail_on_join_rejected(self):
+        with pytest.raises(SqlError, match="single.*payload|carries"):
+            execute_sql(
+                "SELECT * FROM b JOIN a USING (key) ORDER BY key LIMIT 2",
+                self._small(),
+            )
+
+    def test_mixed_payload_sides_with_tail_rejected(self):
+        with pytest.raises(SqlError, match="one payload column"):
+            execute_sql(
+                "SELECT a.payload, b.payload FROM b JOIN a USING (key) "
+                "ORDER BY key LIMIT 2", self._small(),
+            )
+
+    def test_count_limit_is_result_rows(self):
+        # LIMIT limits RESULT rows; COUNT(*) produces one row, so the
+        # count must be the full 4, not min(4, 2)
+        db = self._small()
+        r = execute_sql("SELECT COUNT(*) FROM b LIMIT 2", db)
+        assert r.columns["count"][0] == 4
+
+    def test_limit_zero_empty(self):
+        db = self._small()
+        for q in (
+            "SELECT * FROM b LIMIT 0",
+            "SELECT COUNT(*) FROM b LIMIT 0",
+            "SELECT key, COUNT(*) FROM b GROUP BY key LIMIT 0",
+        ):
+            r = execute_sql(q, db)
+            assert r.row_count == 0, q
+            assert all(len(v) == 0 for v in r.columns.values())
+
+    def test_unqualified_aggregate_in_join_rejected(self):
+        with pytest.raises(SqlError, match="qualify aggregate"):
+            execute_sql(
+                "SELECT key, SUM(payload) FROM b JOIN a USING (key) "
+                "GROUP BY key", self._small(),
+            )
+
+    def test_plan_errors_wrapped_as_sql_error(self):
+        # a fluent-layer PlanError surfaces as SqlError (one contract)
+        db = self._small()
+        with pytest.raises(SqlError):
+            # group-stage ORDER BY column that doesn't exist
+            execute_sql(
+                "SELECT key FROM b GROUP BY key ORDER BY payload", db
+            )
+
+
 class TestExplain:
     def test_explain_shows_rules(self, db):
         txt = explain_sql(
