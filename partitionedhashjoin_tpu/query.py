@@ -104,6 +104,12 @@ class _GroupBy:
 
 
 @dataclasses.dataclass(frozen=True)
+class _Having:
+    child: object  # a group-stage node
+    predicate: Callable  # GroupByResult -> bool mask over its rows
+
+
+@dataclasses.dataclass(frozen=True)
 class _OrderBy:
     child: object
     by: str
@@ -236,6 +242,20 @@ class Query:
         ):
             raise PlanError("group_by applies to a table stage")
         return Query(_GroupBy(self._node, with_distinct, group_capacity))
+
+    def having(self, predicate) -> "Query":
+        """Keep groups where ``predicate(g)`` holds — ``g`` is the
+        GroupByResult, so conditions read like SQL HAVING:
+        ``.having(lambda g: g.count > 5)``.  Surviving groups are
+        compacted (k-sized gathers via the validity-dominant selection,
+        never a re-aggregation); chains AND together."""
+        if _stage(self._node) != "group" or isinstance(
+            self._node, (_OrderBy, _Limit)
+        ):
+            raise PlanError(
+                "having applies to a group stage before order_by/limit"
+            )
+        return Query(_Having(self._node, predicate))
 
     def order_by(self, by: str = "key", descending: bool = False) -> "Query":
         """Sort by a column: table stage ``by`` ∈ {key, payload}; group
@@ -494,11 +514,43 @@ def _compile(node, ctx: _Ctx) -> _Plan:
     if isinstance(core, _OrderBy):
         order = core
         core = core.child
+    having_preds = []
+    while isinstance(core, _Having):
+        having_preds.append(core.predicate)
+        core = core.child
     assert isinstance(core, _GroupBy)
     run_group = _exec_group(core, ctx, steps)
+    mask_fn = None
+    if having_preds:
+        steps.append(
+            f"having ({len(having_preds)} predicate"
+            f"{'s' if len(having_preds) > 1 else ''}) -> group validity "
+            "mask, folded into the k-sized selection (no re-aggregation)"
+        )
+
+        def mask_fn(g):
+            m = None
+            for pred in having_preds:
+                pm = jnp.asarray(pred(g), jnp.bool_)
+                m = pm if m is None else (m & pm)
+            return m
+
     if order is None and limit_k is None:
-        return _Plan(steps, run_group)
-    return _compile_group_tail(run_group, order, limit_k, ctx, steps)
+        if mask_fn is None:
+            return _Plan(steps, run_group)
+
+        def run_having():
+            g = run_group()
+            # compact surviving groups to the front, key order
+            return group_top_k(
+                g, g.keys.shape[0], by="key", descending=False,
+                mask=mask_fn(g),
+            )
+
+        return _Plan(steps, run_having)
+    return _compile_group_tail(
+        run_group, order, limit_k, ctx, steps, mask_fn=mask_fn
+    )
 
 
 # -- table-stage order_by / limit -------------------------------------------
@@ -1023,12 +1075,16 @@ def _group_columns(g):
     return cols
 
 
-def group_top_k(g, k: int, by: str = "count", descending: bool = True):
+def group_top_k(
+    g, k: int, by: str = "count", descending: bool = True, mask=None
+):
     """Top-k groups of a GroupByResult by one aggregate column, all columns
     carried (k-sized gathers).  Exact under capacity truncation: rows past
-    ``num_groups`` are force-masked before selection.  Returns a
-    GroupByResult with ``num_groups = min(k, g.num_groups)`` whose rows are
-    in the requested order.
+    ``num_groups`` are force-masked before selection.  ``mask``: optional
+    extra per-row validity (a HAVING predicate) ANDed in — filtered groups
+    can never be selected and ``num_groups`` reflects the survivors.
+    Returns a GroupByResult with ``num_groups = min(k, #valid)`` whose
+    rows are in the requested order.
 
     COUNT-descending (the hot "top groups" shape) rides ``lax.top_k``
     directly — a masked-out row's count of 0 can never beat a valid
@@ -1046,6 +1102,10 @@ def group_top_k(g, k: int, by: str = "count", descending: bool = True):
         k = n
     pos = jnp.arange(n, dtype=jnp.int32)
     valid = pos < g.num_groups
+    n_valid = g.num_groups
+    if mask is not None:
+        valid = valid & jnp.asarray(mask, jnp.bool_)
+        n_valid = jnp.sum(valid.astype(jnp.int32))
     if by == "count" and descending:
         _, idx_k = jax.lax.top_k(jnp.where(valid, g.count, 0), k)
     else:
@@ -1054,7 +1114,7 @@ def group_top_k(g, k: int, by: str = "count", descending: bool = True):
             (~valid, ordcol, pos, pos), num_keys=3, is_stable=False
         )
         idx_k = idx_s[:k]
-    live = pos[:k] < jnp.minimum(g.num_groups, k)
+    live = pos[:k] < jnp.minimum(n_valid, k)
 
     def take(col, zero):
         return jnp.where(live, col[idx_k], zero)
@@ -1065,22 +1125,31 @@ def group_top_k(g, k: int, by: str = "count", descending: bool = True):
         sum=take(g.sum, jnp.zeros((), g.sum.dtype)),
         min=take(g.min, jnp.zeros((), g.min.dtype)),
         max=take(g.max, jnp.zeros((), g.max.dtype)),
-        num_groups=jnp.minimum(g.num_groups, k),
-        group_of_row=jnp.full(
-            (g.group_of_row.shape[0],), -1, jnp.int32
-        ),
+        num_groups=jnp.minimum(n_valid, k),
+        # a selection result tracks no row membership; an [n_rows] -1
+        # array here cost 800 MB of dead HBM per result at 200M rows
+        # (the round-5 pipeline-bench OOM)
+        group_of_row=jnp.zeros((0,), jnp.int32),
         distinct=(None if g.distinct is None else take(g.distinct, 0)),
     )
 
 
-def _compile_group_tail(run_group, order, limit_k, ctx, steps) -> _Plan:
+def _compile_group_tail(
+    run_group, order, limit_k, ctx, steps, mask_fn=None
+) -> _Plan:
+    def tail_top_k(g, k, by, descending):
+        return group_top_k(
+            g, k, by=by, descending=descending,
+            mask=None if mask_fn is None else mask_fn(g),
+        )
+
     if order is None:
         # LIMIT over groups without an order: first k valid groups
         steps.append(f"limit {limit_k} -> head of the group table")
 
         def run_head():
             g = run_group()
-            return group_top_k(  # key order of the group layout
+            return tail_top_k(  # key order of the group layout
                 g, limit_k, by="key", descending=False
             )
 
@@ -1094,7 +1163,7 @@ def _compile_group_tail(run_group, order, limit_k, ctx, steps) -> _Plan:
 
         def run_order():
             g = run_group()
-            return group_top_k(g, g.keys.shape[0], by=by, descending=desc)
+            return tail_top_k(g, g.keys.shape[0], by=by, descending=desc)
 
         return _Plan(steps, run_order)
     steps.append(
@@ -1104,7 +1173,7 @@ def _compile_group_tail(run_group, order, limit_k, ctx, steps) -> _Plan:
 
     def run_topk():
         g = run_group()
-        return group_top_k(g, limit_k, by=by, descending=desc)
+        return tail_top_k(g, limit_k, by=by, descending=desc)
 
     return _Plan(steps, run_topk)
 

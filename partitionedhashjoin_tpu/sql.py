@@ -26,6 +26,8 @@ physical rewrite rule R1-R7 fires exactly as it does for fluent plans):
     [WHERE  <int expressions over key/payload: + - * % // comparisons,
              AND OR NOT, IN (list), parentheses>]
     [GROUP BY key]
+    [HAVING <expressions over key/count/sum/min/max/avg/distinct or the
+             aggregate-call spellings COUNT(*), SUM(payload), ...>]
     [ORDER BY key|payload|count|sum|min|max|distinct [ASC|DESC]]
     [LIMIT n]
 
@@ -82,7 +84,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "by", "order", "limit",
     "join", "inner", "left", "semi", "anti", "full", "using",
     "and", "or", "not", "in", "asc", "desc", "count", "sum",
-    "min", "max", "avg", "distinct", "as",
+    "min", "max", "avg", "distinct", "as", "having",
 }
 
 
@@ -227,6 +229,80 @@ def _split_conjuncts(node) -> list:
     return [node]
 
 
+def _expr_group_cols(node, out: set) -> set:
+    """Group-column names a HAVING expression references."""
+    if isinstance(node, _Col):
+        out.add(node.name)
+    elif isinstance(node, _Bin):
+        _expr_group_cols(node.left, out)
+        _expr_group_cols(node.right, out)
+    elif isinstance(node, (_Not, _Neg)):
+        _expr_group_cols(node.child, out)
+    elif isinstance(node, _In):
+        _expr_group_cols(node.child, out)
+    return out
+
+
+def _compile_group_expr(node) -> Callable:
+    """Lower a HAVING expression to a GroupByResult -> bool-mask closure
+    (columns resolve against the group table; avg is float, the rest are
+    the integer aggregate columns)."""
+
+    def ev(n, cols):
+        if isinstance(n, _Num):
+            return jnp.asarray(n.value)
+        if isinstance(n, _Col):
+            return cols[n.name]
+        if isinstance(n, _Neg):
+            return -ev(n.child, cols)
+        if isinstance(n, _Not):
+            return ~jnp.asarray(ev(n.child, cols), jnp.bool_)
+        if isinstance(n, _In):
+            x = ev(n.child, cols)
+            hit = jnp.zeros(jnp.shape(x), jnp.bool_)
+            for v in n.values:
+                hit = hit | (x == v)
+            return ~hit if n.negated else hit
+        assert isinstance(n, _Bin)
+        a, b = ev(n.left, cols), ev(n.right, cols)
+        if n.op in ("and", "or"):
+            a = jnp.asarray(a, jnp.bool_)
+            b = jnp.asarray(b, jnp.bool_)
+            return (a & b) if n.op == "and" else (a | b)
+        if n.op == "=":
+            return a == b
+        if n.op in ("!=", "<>"):
+            return a != b
+        if n.op == "<":
+            return a < b
+        if n.op == "<=":
+            return a <= b
+        if n.op == ">":
+            return a > b
+        if n.op == ">=":
+            return a >= b
+        if n.op == "+":
+            return a + b
+        if n.op == "-":
+            return a - b
+        if n.op == "*":
+            return a * b
+        if n.op == "%":
+            return a % b
+        if n.op in ("/", "//"):
+            return a // b
+        raise AssertionError(n.op)
+
+    def fn(g):
+        from partitionedhashjoin_tpu.query import _group_columns
+
+        cols = dict(_group_columns(g))
+        cols["avg"] = g.mean()
+        return jnp.asarray(ev(node, cols), jnp.bool_)
+
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # statement AST
 
@@ -254,9 +330,16 @@ class _Stmt:
     joins: tuple
     where: object
     group_by: bool
+    having: object
     order_by: Optional[str]
     descending: bool
     limit: Optional[int]
+
+
+#: columns a HAVING expression (and group-stage ORDER BY) may reference
+_GROUP_COL_NAMES = (
+    "key", "count", "sum", "min", "max", "avg", "distinct",
+)
 
 
 class _Parser:
@@ -264,6 +347,10 @@ class _Parser:
         self.sql = sql
         self.toks = _lex(sql)
         self.i = 0
+        # expression column mode: "row" resolves key/payload; "group"
+        # (inside HAVING) resolves aggregate columns and COUNT(*)-style
+        # calls to their group-table column names
+        self._col_mode = "row"
 
     # -- token helpers ------------------------------------------------------
 
@@ -343,6 +430,16 @@ class _Parser:
                     f"(got {t.text!r})"
                 )
             group_by = True
+        having = None
+        if self.at_kw("having"):
+            t = self.next()
+            if not group_by:
+                raise SqlError(
+                    f"HAVING requires GROUP BY (position {t.pos})"
+                )
+            self._col_mode = "group"
+            having = self.expr()
+            self._col_mode = "row"
         order_by, desc = None, False
         if self.take_kw("order"):
             self.expect_kw("by")
@@ -367,7 +464,7 @@ class _Parser:
             )
         return _Stmt(
             tuple(items), from_table, from_alias, tuple(joins),
-            where, group_by, order_by, desc, limit,
+            where, group_by, having, order_by, desc, limit,
         )
 
     def join_type(self) -> Optional[str]:
@@ -439,6 +536,14 @@ class _Parser:
             alias = name
             t2 = self.next()
             name = t2.text
+        if self._col_mode == "group":
+            if alias is not None or name.lower() not in _GROUP_COL_NAMES:
+                raise SqlError(
+                    f"HAVING references group columns "
+                    f"{_GROUP_COL_NAMES} (got "
+                    f"{alias + '.' if alias else ''}{name!r})"
+                )
+            return _Col(None, name.lower())
         if name.lower() not in ("key", "payload"):
             raise SqlError(
                 f"unknown column {name!r} (relations have 'key' and "
@@ -530,6 +635,29 @@ class _Parser:
         if t.kind == "num":
             self.next()
             return _Num(int(t.text))
+        if self._col_mode == "group" and self.at_kw(
+            "count", "sum", "min", "max", "avg"
+        ):
+            # aggregate-call spelling in HAVING (COUNT(*) > 5 etc.) maps
+            # to the group-table column the select list would name
+            nxt = self.toks[self.i + 1]
+            if nxt.kind == "op" and nxt.text == "(":
+                self._col_mode = "row"  # the argument is a row column
+                try:
+                    item = self.select_item()
+                finally:
+                    self._col_mode = "group"
+                if item.col is not None and item.col.alias is not None:
+                    raise SqlError(
+                        "HAVING aggregate arguments are unqualified "
+                        "(the carried column is chosen by the SELECT "
+                        f"list): {item.col.alias!r}"
+                    )
+                name = {
+                    "count": "count", "count_distinct": "distinct",
+                    "sum": "sum", "min": "min", "max": "max", "avg": "avg",
+                }[item.func]
+                return _Col(None, name)
         return self.column()
 
 
@@ -557,7 +685,9 @@ class SqlResult:
         ]
 
 
-def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
+def _build_plan(
+    stmt: _Stmt, tables: "dict[str, Table]", group_capacity=None
+):
     """Lower the statement onto the fluent query layer; returns
     (Query, project, is_empty) where project(raw_result) -> SqlResult;
     is_empty marks a LIMIT 0 statement whose project() takes no result
@@ -688,13 +818,19 @@ def _build_plan(stmt: _Stmt, tables: "dict[str, Table]"):
     plain_cols = [it for it in stmt.items if it.func is None and not it.star]
     stars = any(it.star for it in stmt.items)
     wd = any(it.func == "count_distinct" for it in stmt.items)
+    if stmt.having is not None and "distinct" in _expr_group_cols(
+        stmt.having, set()
+    ):
+        wd = True  # HAVING COUNT(DISTINCT payload) without selecting it
 
     # LIMIT 0 is valid SQL (an empty result); the fluent layer's limit()
     # wants a positive k, so resolve it here without executing anything
     empty = stmt.limit == 0
 
     if stmt.group_by:
-        q = q.group_by(with_distinct=wd)
+        q = q.group_by(with_distinct=wd, group_capacity=group_capacity)
+        if stmt.having is not None:
+            q = q.having(_compile_group_expr(stmt.having))
         names = _group_item_names(stmt.items)
         if empty:
             return q, lambda: _empty_result(names), True
@@ -843,21 +979,31 @@ def _project_rows(r, names) -> SqlResult:
     return SqlResult(cols, n)
 
 
-def plan_sql(sql: str, tables: "dict[str, Table]") -> Query:
+def plan_sql(
+    sql: str, tables: "dict[str, Table]", group_capacity=None
+) -> Query:
     """The fluent-layer Query a statement lowers to (for EXPLAIN).
     For a LIMIT 0 statement this is the plan without the limit (the
     execute path short-circuits to an empty result)."""
     try:
-        q, _, _ = _build_plan(parse_sql(sql), tables)
+        q, _, _ = _build_plan(parse_sql(sql), tables, group_capacity)
     except PlanError as e:
         raise SqlError(str(e)) from e
     return q
 
 
-def explain_sql(sql: str, tables: "dict[str, Table]", mesh=None) -> str:
+def explain_sql(
+    sql: str,
+    tables: "dict[str, Table]",
+    mesh=None,
+    group_capacity=None,
+    interpret: bool = False,
+) -> str:
     """Physical plan of the statement (query.py EXPLAIN, rules R1-R7)."""
     try:
-        return plan_sql(sql, tables).explain(mesh=mesh)
+        return plan_sql(sql, tables, group_capacity).explain(
+            mesh=mesh, interpret=interpret
+        )
     except PlanError as e:  # unsupported mesh plan shapes etc.
         raise SqlError(str(e)) from e
 
@@ -867,14 +1013,17 @@ def execute_sql(
     tables: "dict[str, Table]",
     mesh=None,
     interpret: bool = False,
+    group_capacity=None,
 ) -> SqlResult:
     """Parse, plan, and run a statement.  ``tables`` maps FROM/JOIN names
-    to relations; ``mesh`` executes on a device mesh (query.py R6).
+    to relations; ``mesh`` executes on a device mesh (query.py R6);
+    ``group_capacity`` bounds the GROUP BY table (a physical knob SQL has
+    no syntax for — defaults to the aggregate's own sizing).
     Raises SqlError on any lex/parse/analysis/plan failure (fluent-layer
     PlanErrors are wrapped, per the module's one-error contract)."""
     stmt = parse_sql(sql)
     try:
-        q, project, is_empty = _build_plan(stmt, tables)
+        q, project, is_empty = _build_plan(stmt, tables, group_capacity)
         if is_empty:
             return project()
         if project == "count":

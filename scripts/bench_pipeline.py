@@ -157,15 +157,52 @@ def main():
         jax.device_get(hot1.keys)[:10].tolist()
     )
 
+    # the SQL surface must lower to the same plan (parse + analysis are
+    # host-side; overhead must be noise) and agree on the result.
+    # Free the A/B intermediates first: two kept aggregates + their
+    # relation-sized group_of_row columns are ~2-3 GB of dead HBM and the
+    # extra execution below OOMed the chip with them alive.
+    hot1_keys = jax.device_get(hot1.keys)[:10].tolist()
+    hot1_pays = jax.device_get(hot1.payloads)[:10].tolist()
     best = results["ordered"][0]
+    naive_ms = round(results["naive-resort"][0] * 1e3)
+    del results, g1, g2, hot1, hot2, topq
+    from partitionedhashjoin_tpu.sql import execute_sql, explain_sql
+
+    sql = (
+        "SELECT key, COUNT(*), SUM(b.payload), MIN(b.payload), "
+        "MAX(b.payload) FROM b JOIN a USING (key) "
+        "GROUP BY key ORDER BY count DESC LIMIT 10"
+    )
+    db = {"a": ta, "b": tb}
+    assert "R3" in explain_sql(sql, db, interpret=INTERPRET), (
+        "SQL must lower to the ordered plan"
+    )
+    kw = dict(interpret=INTERPRET, group_capacity=cap)
+    rs = execute_sql(sql, db, **kw)  # warm
+    best_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        rs = execute_sql(sql, db, **kw)
+        best_s = min(best_s, time.perf_counter() - t0)
+    log(
+        f"join+group-by+top10 [sql]: {best_s*1e3:.0f} ms "
+        f"-> {N_B/best_s/1e6:.0f}M rows/s"
+    )
+    assert rs.columns["key"].tolist() == hot1_pays, (
+        "SQL disagrees with the hand-built plan"
+    )
+    assert rs.columns["count"].tolist() == hot1_keys
+
     print(json.dumps({
         "metric": f"query_join_groupby_rows_per_s_{N_A}x{N_B}_skew{SKEW}",
         "value": round(N_B / best),
         "unit": "rows/s",
         "vs_baseline": round(N_B / best / BASELINE_ROWS_PER_S, 3),
-        "naive_resort_ms": round(results["naive-resort"][0] * 1e3),
+        "naive_resort_ms": naive_ms,
         "ordered_ms": round(best * 1e3),
         "query_layer_ms": round(best_q * 1e3),
+        "sql_ms": round(best_s * 1e3),
     }))
 
 

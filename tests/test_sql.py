@@ -269,6 +269,114 @@ class TestGroupQueries:
             execute_sql("SELECT SUM(payload) FROM b", db)
 
 
+class TestHaving:
+    def _oracle(self, db, keep):
+        bk = np.asarray(db["b"].keys)
+        bp = np.asarray(db["b"].payloads)
+        out = {}
+        for k in np.unique(bk):
+            sel = bp[bk == k]
+            row = (len(sel), int(np.int32(sel.sum())), int(sel.min()),
+                   int(sel.max()), len(set(sel.tolist())))
+            if keep(int(k), *row):
+                out[int(k)] = row[:4]
+        return out
+
+    def test_having_count(self, db):
+        want = self._oracle(db, lambda k, c, s, mn, mx, d: c > 10)
+        r = execute_sql(
+            "SELECT key, COUNT(*), SUM(payload), MIN(payload), "
+            "MAX(payload) FROM b GROUP BY key HAVING count > 10 "
+            "ORDER BY key", db,
+        )
+        got = {
+            int(r.columns["key"][i]): (
+                int(r.columns["count"][i]), int(r.columns["sum"][i]),
+                int(r.columns["min"][i]), int(r.columns["max"][i]),
+            )
+            for i in range(r.row_count)
+        }
+        assert got == want and len(want) > 0
+
+    def test_having_aggregate_call_spelling(self, db):
+        # COUNT(*) > 10 AND MIN(payload) < 0, plus a key condition
+        want = self._oracle(
+            db, lambda k, c, s, mn, mx, d: c > 10 and mn < 0 and k != 1
+        )
+        r = execute_sql(
+            "SELECT key FROM b GROUP BY key "
+            "HAVING COUNT(*) > 10 AND MIN(payload) < 0 AND key != 1",
+            db,
+        )
+        assert sorted(r.columns["key"].tolist()) == sorted(want)
+
+    def test_having_distinct_without_selecting_it(self, db):
+        want = self._oracle(db, lambda k, c, s, mn, mx, d: d >= 8)
+        r = execute_sql(
+            "SELECT key FROM b GROUP BY key "
+            "HAVING COUNT(DISTINCT payload) >= 8", db,
+        )
+        assert sorted(r.columns["key"].tolist()) == sorted(want)
+
+    def test_having_then_order_limit(self, db):
+        want = self._oracle(db, lambda k, c, s, mn, mx, d: c > 5)
+        top = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+        r = execute_sql(
+            "SELECT key, COUNT(*) FROM b GROUP BY key HAVING count > 5 "
+            "ORDER BY count DESC LIMIT 3", db,
+        )
+        assert r.columns["count"].tolist() == [c for _, (c, *_) in top]
+
+    def test_having_count_terminal(self, db):
+        # .count() over a having-filtered group plan = surviving groups
+        from partitionedhashjoin_tpu.sql import plan_sql
+
+        want = self._oracle(db, lambda k, c, s, mn, mx, d: c > 10)
+        q = plan_sql(
+            "SELECT key FROM b GROUP BY key HAVING count > 10", db
+        )
+        assert q.count() == len(want)
+
+    def test_having_requires_group_by(self, db):
+        with pytest.raises(SqlError, match="HAVING requires GROUP BY"):
+            execute_sql("SELECT key FROM b HAVING count > 1", db)
+
+    def test_having_rejects_row_columns(self, db):
+        with pytest.raises(SqlError, match="group columns"):
+            execute_sql(
+                "SELECT key FROM b GROUP BY key HAVING payload > 1", db
+            )
+
+    def test_having_on_join_group(self, db):
+        ak = np.asarray(db["a"].keys)
+        bk = np.asarray(db["b"].keys)
+        in_a = np.isin(bk, ak)
+        kk = bk[in_a]
+        counts = {int(k): int((kk == k).sum()) for k in np.unique(kk)}
+        want = {k for k, c in counts.items() if c >= 4}
+        r = execute_sql(
+            "SELECT key FROM b JOIN a USING (key) GROUP BY key "
+            "HAVING COUNT(*) >= 4", db,
+        )
+        assert set(r.columns["key"].tolist()) == want
+
+    def test_fluent_having_chain(self, db):
+        # two .having() calls AND together
+        from partitionedhashjoin_tpu.query import scan
+
+        want = self._oracle(
+            db, lambda k, c, s, mn, mx, d: c > 5 and mx >= 90
+        )
+        g = (
+            scan(db["b"]).group_by()
+            .having(lambda g: g.count > 5)
+            .having(lambda g: g.max >= 90)
+            .execute()
+        )
+        n = int(g.num_groups)
+        assert sorted(np.asarray(g.keys)[:n].tolist()) == sorted(want)
+
+
 class TestReviewFindings:
     """Regression tests for the round-5 code-review findings."""
 
