@@ -57,6 +57,7 @@ operator modules this planner dispatches to.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -183,6 +184,25 @@ class TableResult:
     count: jax.Array
 
 
+@dataclasses.dataclass
+class ScalarAggResult:
+    """Whole-relation aggregates (no GROUP BY), one result row.
+    ``min``/``max`` are 0 when ``count`` is 0 (the engine's masked-row
+    convention); ``distinct`` is None unless requested."""
+
+    count: jax.Array
+    sum: jax.Array
+    min: jax.Array
+    max: jax.Array
+    distinct: "jax.Array | None" = None
+
+    def mean(self, dtype=jnp.float32) -> jax.Array:
+        c = jnp.maximum(self.count, 1).astype(dtype)
+        return jnp.where(
+            self.count > 0, self.sum.astype(dtype) / c, jnp.zeros((), dtype)
+        )
+
+
 # ---------------------------------------------------------------------------
 # fluent builder
 
@@ -294,6 +314,36 @@ class Query:
         count kernel exists (R1)."""
         plan = _compile_count(self._node, _Ctx(mesh=mesh, interpret=interpret))
         return int(jax.device_get(plan.run()))
+
+    def aggregate(
+        self,
+        with_distinct: bool = False,
+        mesh=None,
+        interpret: bool = False,
+    ) -> ScalarAggResult:
+        """Whole-relation aggregates (SQL's SELECT SUM(...) without
+        GROUP BY): COUNT/SUM/MIN/MAX of the payload over the plan's
+        valid rows in ONE streaming pass (streaming is ~free on this
+        chip, docs/PERFORMANCE.md primitive table) — plus one
+        validity-dominant 2-key sort when ``with_distinct``.  Runs on
+        whatever sharding the inputs carry (reductions jit to psums on
+        sharded arrays); join plans flow through their materializer
+        first."""
+        if _stage(self._node) != "table" or isinstance(
+            self._node, (_OrderBy, _Limit)
+        ):
+            raise PlanError(
+                "aggregate() applies to a table stage (ordering cannot "
+                "change a scalar aggregate; drop the order_by/limit)"
+            )
+        steps: list = []
+        inner = _exec_table(
+            self._node, _Ctx(mesh=mesh, interpret=interpret), steps
+        )
+        t = inner()
+        return _scalar_aggregate(
+            t.keys, t.pays, t.effective_mask(), with_distinct
+        )
 
     def explain(self, mesh=None, interpret: bool = False) -> str:
         """The physical plan as text, one operator per line, with the
@@ -684,6 +734,44 @@ def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
         return TableResult(make_table(keys_s, pays_s), cnt)
 
     return _Plan(steps, run_order)
+
+
+@functools.partial(jax.jit, static_argnames=("with_distinct",))
+def _scalar_agg_impl(pays, mask, with_distinct):
+    info = jnp.iinfo(pays.dtype)
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    zero = jnp.zeros((), pays.dtype)
+    s = jnp.sum(jnp.where(mask, pays, zero))  # mod-2^32, engine SUM law
+    mn = jnp.min(jnp.where(mask, pays, jnp.asarray(info.max, pays.dtype)))
+    mx = jnp.max(jnp.where(mask, pays, jnp.asarray(info.min, pays.dtype)))
+    mn = jnp.where(cnt > 0, mn, zero)
+    mx = jnp.where(cnt > 0, mx, zero)
+    d = jnp.zeros((), jnp.int32)
+    if with_distinct:
+        # validity-dominant 2-key sort: valid payloads form a sorted
+        # prefix, distinct values are its run boundaries — exact over
+        # the full int domain, no sentinel values
+        inv = jnp.where(mask, 0, 1).astype(jnp.int32)
+        inv_s, pay_s = jax.lax.sort((inv, pays), num_keys=2)
+        valid_s = inv_s == 0
+        d = valid_s[0].astype(jnp.int32) + jnp.sum(
+            ((pay_s[1:] != pay_s[:-1]) & valid_s[1:]).astype(jnp.int32)
+        )
+    return cnt, s, mn, mx, d
+
+
+def _scalar_aggregate(keys, pays, mask, with_distinct) -> ScalarAggResult:
+    n = pays.shape[0]
+    if n == 0:
+        z = jnp.zeros((), pays.dtype)
+        zi = jnp.zeros((), jnp.int32)
+        return ScalarAggResult(
+            zi, z, z, z, zi if with_distinct else None
+        )
+    if mask is None:
+        mask = jnp.ones((n,), jnp.bool_)
+    cnt, s, mn, mx, d = _scalar_agg_impl(pays, mask, with_distinct)
+    return ScalarAggResult(cnt, s, mn, mx, d if with_distinct else None)
 
 
 @jax.jit

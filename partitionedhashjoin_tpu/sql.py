@@ -21,6 +21,7 @@ physical rewrite rule R1-R7 fires exactly as it does for fluent plans):
 
     SELECT  * | key | payload | COUNT(*) | COUNT(DISTINCT payload)
             | SUM(payload) | MIN(payload) | MAX(payload) | AVG(payload)
+            | DISTINCT key                 -- lowers to GROUP BY key
     FROM    t [alias]
             [ [INNER|LEFT|SEMI|ANTI|FULL] JOIN t2 [alias] USING (key) ]*
     [WHERE  <int expressions over key/payload: + - * % // comparisons,
@@ -44,6 +45,9 @@ Semantics notes:
   carry='build'.  All aggregates must agree (one carried column flows).
 - Everything is integer arithmetic (int32/int64 relations); AVG is the
   one float output (GroupByResult.mean).
+- Aggregates WITHOUT GROUP BY return one row: bare COUNT(*) rides the
+  R1 count kernels; SUM/MIN/MAX/AVG/COUNT(DISTINCT) ride
+  ``Query.aggregate()``'s streaming reductions.
 """
 
 from __future__ import annotations
@@ -325,6 +329,7 @@ class _JoinClause:
 @dataclasses.dataclass(frozen=True)
 class _Stmt:
     items: tuple
+    select_distinct: bool
     from_table: str
     from_alias: str
     joins: tuple
@@ -398,6 +403,7 @@ class _Parser:
 
     def parse(self) -> _Stmt:
         self.expect_kw("select")
+        select_distinct = self.take_kw("distinct")
         items = self.select_list()
         self.expect_kw("from")
         from_table, from_alias = self.table_ref()
@@ -463,8 +469,8 @@ class _Parser:
                 f"unexpected trailing input at position {t.pos}: {t.text!r}"
             )
         return _Stmt(
-            tuple(items), from_table, from_alias, tuple(joins),
-            where, group_by, having, order_by, desc, limit,
+            tuple(items), select_distinct, from_table, from_alias,
+            tuple(joins), where, group_by, having, order_by, desc, limit,
         )
 
     def join_type(self) -> Optional[str]:
@@ -827,6 +833,28 @@ def _build_plan(
     # wants a positive k, so resolve it here without executing anything
     empty = stmt.limit == 0
 
+    if stmt.select_distinct:
+        # SELECT DISTINCT key = GROUP BY key projecting only the key
+        # (the engine groups by key; DISTINCT payload has no group axis)
+        if stmt.group_by or has_aggs or stars or [
+            c for c in plain_cols if c.col.name != "key"
+        ]:
+            raise SqlError(
+                "SELECT DISTINCT supports exactly 'key' (it lowers to "
+                "GROUP BY key); use GROUP BY for aggregates"
+            )
+        if stmt.order_by is not None and stmt.order_by != "key":
+            raise SqlError("SELECT DISTINCT key orders by key only")
+        q = q.group_by(group_capacity=group_capacity)
+        names = ["key"]
+        if empty:
+            return q, lambda: _empty_result(names), True
+        if stmt.order_by is not None:
+            q = q.order_by("key", descending=stmt.descending)
+        if stmt.limit is not None:
+            q = q.limit(stmt.limit)
+        return q, (lambda g: _project_groups(g, names)), False
+
     if stmt.group_by:
         q = q.group_by(with_distinct=wd, group_capacity=group_capacity)
         if stmt.having is not None:
@@ -841,22 +869,28 @@ def _build_plan(
         return q, (lambda g: _project_groups(g, names)), False
 
     if has_aggs:
-        # scalar aggregates without GROUP BY: COUNT(*) only (the R1
-        # count kernels; other scalar aggregates would materialize)
-        if plain_cols or stars or [
-            it for it in stmt.items if it.func != "count"
-        ]:
+        # scalar aggregates without GROUP BY: one result row.  Bare
+        # COUNT(*) keeps the R1 count-kernel path (nothing materializes);
+        # any other aggregate flows through Query.aggregate()'s streaming
+        # reductions over the plan's valid rows.
+        if plain_cols or stars:
             raise SqlError(
-                "without GROUP BY the only aggregate is COUNT(*) "
-                "(add GROUP BY key for SUM/MIN/MAX/AVG/DISTINCT)"
+                "selecting columns alongside aggregates needs GROUP BY"
             )
         if stmt.order_by is not None:
             raise SqlError("ORDER BY needs rows or GROUP BY")
+        names = []
+        for it in stmt.items:
+            names.append(
+                {"count_distinct": "distinct"}.get(it.func, it.func)
+            )
         if empty:
-            return q, lambda: _empty_result(["count"]), True
+            return q, lambda: _empty_result(names), True
         # LIMIT >= 1 is a no-op on the single aggregate row (it limits
         # RESULT rows, not the rows counted)
-        return q, "count", False
+        if names == ["count"] * len(names):
+            return q, "count", False
+        return q, ("scalar", tuple(names), wd), False
 
     # row query
     names = _row_item_names(stmt.items, stmt)
@@ -1029,6 +1063,21 @@ def execute_sql(
         if project == "count":
             c = q.count(mesh=mesh, interpret=interpret)
             return SqlResult({"count": np.asarray([c])}, 1)
+        if isinstance(project, tuple) and project[0] == "scalar":
+            _, names, wd = project
+            r = q.aggregate(
+                with_distinct=wd, mesh=mesh, interpret=interpret
+            )
+            src = {
+                "count": r.count, "sum": r.sum, "min": r.min,
+                "max": r.max, "avg": r.mean(),
+            }
+            if r.distinct is not None:
+                src["distinct"] = r.distinct
+            cols = {
+                nm: np.asarray([jax.device_get(src[nm])]) for nm in names
+            }
+            return SqlResult(cols, 1)
         raw = q.execute(mesh=mesh, interpret=interpret)
     except PlanError as e:
         raise SqlError(str(e)) from e

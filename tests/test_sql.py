@@ -264,9 +264,101 @@ class TestGroupQueries:
         ))
         assert got == want
 
-    def test_scalar_aggregate_needs_group_by(self, db):
+    def test_column_alongside_aggregate_needs_group_by(self, db):
         with pytest.raises(SqlError, match="GROUP BY"):
-            execute_sql("SELECT SUM(payload) FROM b", db)
+            execute_sql("SELECT key, SUM(payload) FROM b", db)
+
+
+class TestScalarAggregates:
+    def test_global_aggregates(self, db):
+        bp = np.asarray(db["b"].payloads)
+        r = execute_sql(
+            "SELECT COUNT(*), SUM(payload), MIN(payload), MAX(payload), "
+            "AVG(payload), COUNT(DISTINCT payload) FROM b", db,
+        )
+        assert r.row_count == 1
+        assert r.columns["count"][0] == len(bp)
+        assert r.columns["sum"][0] == np.int32(bp.sum())
+        assert r.columns["min"][0] == bp.min()
+        assert r.columns["max"][0] == bp.max()
+        np.testing.assert_allclose(r.columns["avg"][0], bp.mean(), rtol=1e-6)
+        assert r.columns["distinct"][0] == len(set(bp.tolist()))
+
+    def test_global_aggregates_filtered(self, db):
+        bp = np.asarray(db["b"].payloads)
+        sel = bp[bp % 3 == 0]
+        r = execute_sql(
+            "SELECT SUM(payload), MIN(payload), COUNT(*) FROM b "
+            "WHERE payload % 3 = 0", db,
+        )
+        assert r.columns["count"][0] == len(sel)
+        assert r.columns["sum"][0] == np.int32(sel.sum())
+        assert r.columns["min"][0] == sel.min()
+
+    def test_global_aggregate_over_join(self, db):
+        ak = np.asarray(db["a"].keys)
+        ap = np.asarray(db["a"].payloads)
+        bk = np.asarray(db["b"].keys)
+        amap = {int(k): int(p) for k, p in zip(ak, ap)}
+        matched = [amap[int(k)] for k in bk if int(k) in amap]
+        r = execute_sql(
+            "SELECT SUM(a.payload), COUNT(*) FROM b JOIN a USING (key)",
+            db,
+        )
+        assert r.columns["count"][0] == len(matched)
+        assert r.columns["sum"][0] == np.int32(np.sum(matched, dtype=np.int64))
+
+    def test_empty_after_filter(self, db):
+        r = execute_sql(
+            "SELECT COUNT(*), SUM(payload), MIN(payload) FROM b "
+            "WHERE payload > 1000", db,
+        )
+        assert r.columns["count"][0] == 0
+        assert r.columns["sum"][0] == 0
+        assert r.columns["min"][0] == 0  # masked-row convention
+
+    def test_fluent_aggregate_terminal(self, db):
+        from partitionedhashjoin_tpu.query import scan
+
+        bp = np.asarray(db["b"].payloads)
+        r = scan(db["b"]).filter(lambda k, p: p > 0).aggregate(
+            with_distinct=True
+        )
+        sel = bp[bp > 0]
+        assert int(r.count) == len(sel)
+        assert int(r.sum) == int(np.int32(sel.sum()))
+        assert int(r.distinct) == len(set(sel.tolist()))
+
+
+class TestSelectDistinct:
+    def test_distinct_key(self, db):
+        bk = np.asarray(db["b"].keys)
+        r = execute_sql("SELECT DISTINCT key FROM b ORDER BY key", db)
+        np.testing.assert_array_equal(r.columns["key"], np.unique(bk))
+        assert list(r.columns) == ["key"]
+
+    def test_distinct_key_filtered_limit(self, db):
+        bk = np.asarray(db["b"].keys)
+        want = np.unique(bk[bk % 2 == 1])[:5]
+        r = execute_sql(
+            "SELECT DISTINCT key FROM b WHERE key % 2 = 1 "
+            "ORDER BY key LIMIT 5", db,
+        )
+        np.testing.assert_array_equal(r.columns["key"], want)
+
+    def test_distinct_over_join(self, db):
+        ak = np.asarray(db["a"].keys)
+        bk = np.asarray(db["b"].keys)
+        want = np.unique(bk[np.isin(bk, ak)])
+        r = execute_sql(
+            "SELECT DISTINCT key FROM b JOIN a USING (key) ORDER BY key",
+            db,
+        )
+        np.testing.assert_array_equal(r.columns["key"], want)
+
+    def test_distinct_payload_rejected(self, db):
+        with pytest.raises(SqlError, match="DISTINCT supports"):
+            execute_sql("SELECT DISTINCT payload FROM b", db)
 
 
 class TestHaving:
