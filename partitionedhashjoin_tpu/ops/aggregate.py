@@ -33,6 +33,15 @@ _I32_MAX = jnp.iinfo(jnp.int32).max
 _I32_MIN = jnp.iinfo(jnp.int32).min
 
 
+def masked_mean(count, total, dtype=jnp.float32) -> jax.Array:
+    """The engine's AVG convention (shared by GroupByResult and
+    query.ScalarAggResult): sum/count where count > 0, else 0."""
+    c = jnp.maximum(count, 1).astype(dtype)
+    return jnp.where(
+        count > 0, total.astype(dtype) / c, jnp.zeros((), dtype)
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GroupByResult:
@@ -52,10 +61,7 @@ class GroupByResult:
 
     def mean(self, dtype=jnp.float32) -> jax.Array:
         """AVG(payload) per group: sum/count where count > 0, else 0."""
-        c = jnp.maximum(self.count, 1).astype(dtype)
-        return jnp.where(
-            self.count > 0, self.sum.astype(dtype) / c, jnp.zeros((), dtype)
-        )
+        return masked_mean(self.count, self.sum, dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "has_valid"))

@@ -197,10 +197,9 @@ class ScalarAggResult:
     distinct: "jax.Array | None" = None
 
     def mean(self, dtype=jnp.float32) -> jax.Array:
-        c = jnp.maximum(self.count, 1).astype(dtype)
-        return jnp.where(
-            self.count > 0, self.sum.astype(dtype) / c, jnp.zeros((), dtype)
-        )
+        from partitionedhashjoin_tpu.ops.aggregate import masked_mean
+
+        return masked_mean(self.count, self.sum, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -325,10 +324,13 @@ class Query:
         GROUP BY): COUNT/SUM/MIN/MAX of the payload over the plan's
         valid rows in ONE streaming pass (streaming is ~free on this
         chip, docs/PERFORMANCE.md primitive table) — plus one
-        validity-dominant 2-key sort when ``with_distinct``.  Runs on
-        whatever sharding the inputs carry (reductions jit to psums on
-        sharded arrays); join plans flow through their materializer
-        first."""
+        validity-dominant 2-key sort when ``with_distinct``.  SUM
+        follows the engine-wide mod-2^32 int32 law (same as every
+        GROUP BY path), so relation-scale sums WRAP and ``mean()`` is
+        the wrapped sum over count — widen payloads to int64 (x64 mode)
+        for exact big sums.  Runs on whatever sharding the inputs carry
+        (reductions jit to psums on sharded arrays); join plans flow
+        through their materializer first."""
         if _stage(self._node) != "table" or isinstance(
             self._node, (_OrderBy, _Limit)
         ):
@@ -738,25 +740,40 @@ def _compile_table_tail(inner, core, order, limit_k, ctx, steps) -> _Plan:
 
 @functools.partial(jax.jit, static_argnames=("with_distinct",))
 def _scalar_agg_impl(pays, mask, with_distinct):
+    """``mask=None`` (a static pytree shape) skips every select — the
+    unfiltered case is pure streaming reductions, no O(n) mask."""
     info = jnp.iinfo(pays.dtype)
-    cnt = jnp.sum(mask.astype(jnp.int32))
     zero = jnp.zeros((), pays.dtype)
-    s = jnp.sum(jnp.where(mask, pays, zero))  # mod-2^32, engine SUM law
-    mn = jnp.min(jnp.where(mask, pays, jnp.asarray(info.max, pays.dtype)))
-    mx = jnp.max(jnp.where(mask, pays, jnp.asarray(info.min, pays.dtype)))
-    mn = jnp.where(cnt > 0, mn, zero)
-    mx = jnp.where(cnt > 0, mx, zero)
+    if mask is None:
+        cnt = jnp.asarray(pays.shape[0], jnp.int32)
+        s = jnp.sum(pays)  # mod-2^32, engine SUM law
+        mn, mx = jnp.min(pays), jnp.max(pays)
+    else:
+        cnt = jnp.sum(mask.astype(jnp.int32))
+        s = jnp.sum(jnp.where(mask, pays, zero))
+        mn = jnp.min(
+            jnp.where(mask, pays, jnp.asarray(info.max, pays.dtype))
+        )
+        mx = jnp.max(
+            jnp.where(mask, pays, jnp.asarray(info.min, pays.dtype))
+        )
+        mn = jnp.where(cnt > 0, mn, zero)
+        mx = jnp.where(cnt > 0, mx, zero)
     d = jnp.zeros((), jnp.int32)
     if with_distinct:
         # validity-dominant 2-key sort: valid payloads form a sorted
         # prefix, distinct values are its run boundaries — exact over
         # the full int domain, no sentinel values
-        inv = jnp.where(mask, 0, 1).astype(jnp.int32)
-        inv_s, pay_s = jax.lax.sort((inv, pays), num_keys=2)
-        valid_s = inv_s == 0
-        d = valid_s[0].astype(jnp.int32) + jnp.sum(
-            ((pay_s[1:] != pay_s[:-1]) & valid_s[1:]).astype(jnp.int32)
-        )
+        if mask is None:
+            pay_s = jax.lax.sort(pays)
+            d = 1 + jnp.sum((pay_s[1:] != pay_s[:-1]).astype(jnp.int32))
+        else:
+            inv = jnp.where(mask, 0, 1).astype(jnp.int32)
+            inv_s, pay_s = jax.lax.sort((inv, pays), num_keys=2)
+            valid_s = inv_s == 0
+            d = valid_s[0].astype(jnp.int32) + jnp.sum(
+                ((pay_s[1:] != pay_s[:-1]) & valid_s[1:]).astype(jnp.int32)
+            )
     return cnt, s, mn, mx, d
 
 
@@ -768,8 +785,6 @@ def _scalar_aggregate(keys, pays, mask, with_distinct) -> ScalarAggResult:
         return ScalarAggResult(
             zi, z, z, z, zi if with_distinct else None
         )
-    if mask is None:
-        mask = jnp.ones((n,), jnp.bool_)
     cnt, s, mn, mx, d = _scalar_agg_impl(pays, mask, with_distinct)
     return ScalarAggResult(cnt, s, mn, mx, d if with_distinct else None)
 

@@ -172,59 +172,73 @@ def _expr_aliases(node, out: set) -> set:
     return out
 
 
+def _eval_expr(n, col: Callable, num: Callable):
+    """Shared operator dispatch for WHERE (row) and HAVING (group)
+    expressions — only column/literal resolution differs between the
+    two, so it is injected (``col`` resolves a _Col, ``num`` coerces an
+    int literal).  Arithmetic follows jnp int semantics (mod 2^32
+    wraparound on int32 — same as the engine's SUM aggregates); '/' and
+    '//' are both floor division (the only float column is avg)."""
+
+    def ev(m):
+        return _eval_expr(m, col, num)
+
+    if isinstance(n, _Num):
+        return num(n.value)
+    if isinstance(n, _Col):
+        return col(n)
+    if isinstance(n, _Neg):
+        return -ev(n.child)
+    if isinstance(n, _Not):
+        return ~jnp.asarray(ev(n.child), jnp.bool_)
+    if isinstance(n, _In):
+        x = ev(n.child)
+        hit = jnp.zeros(jnp.shape(x), jnp.bool_)
+        for v in n.values:
+            hit = hit | (x == jnp.asarray(v, x.dtype))
+        return ~hit if n.negated else hit
+    assert isinstance(n, _Bin)
+    a, b = ev(n.left), ev(n.right)
+    if n.op in ("and", "or"):
+        a = jnp.asarray(a, jnp.bool_)
+        b = jnp.asarray(b, jnp.bool_)
+        return (a & b) if n.op == "and" else (a | b)
+    if n.op == "=":
+        return a == b
+    if n.op in ("!=", "<>"):
+        return a != b
+    if n.op == "<":
+        return a < b
+    if n.op == "<=":
+        return a <= b
+    if n.op == ">":
+        return a > b
+    if n.op == ">=":
+        return a >= b
+    if n.op == "+":
+        return a + b
+    if n.op == "-":
+        return a - b
+    if n.op == "*":
+        return a * b
+    if n.op == "%":
+        return a % b
+    if n.op in ("/", "//"):
+        return a // b
+    raise AssertionError(n.op)
+
+
 def _compile_expr(node) -> Callable[[jax.Array, jax.Array], jax.Array]:
-    """Lower a WHERE expression to a (keys, payloads) -> array closure.
+    """Lower a WHERE expression to a (keys, payloads) -> array closure."""
 
-    Arithmetic follows jnp int semantics (mod 2^32 wraparound on int32 —
-    same as the engine's SUM aggregates); '/' and '//' are both floor
-    division (there are no float columns to divide)."""
+    def fn(k, p):
+        return _eval_expr(
+            node,
+            col=lambda c: k if c.name == "key" else p,
+            num=lambda v: jnp.asarray(v, k.dtype),
+        )
 
-    def ev(n, k, p):
-        if isinstance(n, _Num):
-            return jnp.asarray(n.value, k.dtype)
-        if isinstance(n, _Col):
-            return k if n.name == "key" else p
-        if isinstance(n, _Neg):
-            return -ev(n.child, k, p)
-        if isinstance(n, _Not):
-            return ~jnp.asarray(ev(n.child, k, p), jnp.bool_)
-        if isinstance(n, _In):
-            x = ev(n.child, k, p)
-            hit = jnp.zeros(jnp.shape(x), jnp.bool_)
-            for v in n.values:
-                hit = hit | (x == jnp.asarray(v, x.dtype))
-            return ~hit if n.negated else hit
-        assert isinstance(n, _Bin)
-        a, b = ev(n.left, k, p), ev(n.right, k, p)
-        if n.op in ("and", "or"):
-            a = jnp.asarray(a, jnp.bool_)
-            b = jnp.asarray(b, jnp.bool_)
-            return (a & b) if n.op == "and" else (a | b)
-        if n.op == "=":
-            return a == b
-        if n.op in ("!=", "<>"):
-            return a != b
-        if n.op == "<":
-            return a < b
-        if n.op == "<=":
-            return a <= b
-        if n.op == ">":
-            return a > b
-        if n.op == ">=":
-            return a >= b
-        if n.op == "+":
-            return a + b
-        if n.op == "-":
-            return a - b
-        if n.op == "*":
-            return a * b
-        if n.op == "%":
-            return a % b
-        if n.op in ("/", "//"):
-            return a // b
-        raise AssertionError(n.op)
-
-    return lambda k, p: ev(node, k, p)
+    return fn
 
 
 def _split_conjuncts(node) -> list:
@@ -250,59 +264,20 @@ def _expr_group_cols(node, out: set) -> set:
 def _compile_group_expr(node) -> Callable:
     """Lower a HAVING expression to a GroupByResult -> bool-mask closure
     (columns resolve against the group table; avg is float, the rest are
-    the integer aggregate columns)."""
-
-    def ev(n, cols):
-        if isinstance(n, _Num):
-            return jnp.asarray(n.value)
-        if isinstance(n, _Col):
-            return cols[n.name]
-        if isinstance(n, _Neg):
-            return -ev(n.child, cols)
-        if isinstance(n, _Not):
-            return ~jnp.asarray(ev(n.child, cols), jnp.bool_)
-        if isinstance(n, _In):
-            x = ev(n.child, cols)
-            hit = jnp.zeros(jnp.shape(x), jnp.bool_)
-            for v in n.values:
-                hit = hit | (x == v)
-            return ~hit if n.negated else hit
-        assert isinstance(n, _Bin)
-        a, b = ev(n.left, cols), ev(n.right, cols)
-        if n.op in ("and", "or"):
-            a = jnp.asarray(a, jnp.bool_)
-            b = jnp.asarray(b, jnp.bool_)
-            return (a & b) if n.op == "and" else (a | b)
-        if n.op == "=":
-            return a == b
-        if n.op in ("!=", "<>"):
-            return a != b
-        if n.op == "<":
-            return a < b
-        if n.op == "<=":
-            return a <= b
-        if n.op == ">":
-            return a > b
-        if n.op == ">=":
-            return a >= b
-        if n.op == "+":
-            return a + b
-        if n.op == "-":
-            return a - b
-        if n.op == "*":
-            return a * b
-        if n.op == "%":
-            return a % b
-        if n.op in ("/", "//"):
-            return a // b
-        raise AssertionError(n.op)
+    the integer aggregate columns).  Same operator dispatch as WHERE
+    (``_eval_expr``)."""
 
     def fn(g):
         from partitionedhashjoin_tpu.query import _group_columns
 
         cols = dict(_group_columns(g))
         cols["avg"] = g.mean()
-        return jnp.asarray(ev(node, cols), jnp.bool_)
+        return jnp.asarray(
+            _eval_expr(
+                node, col=lambda c: cols[c.name], num=jnp.asarray
+            ),
+            jnp.bool_,
+        )
 
     return fn
 
@@ -659,6 +634,11 @@ class _Parser:
                         "(the carried column is chosen by the SELECT "
                         f"list): {item.col.alias!r}"
                     )
+                if item.col is not None and item.col.name != "payload":
+                    raise SqlError(
+                        "HAVING aggregates take payload, not key "
+                        "(the group key itself is the 'key' column)"
+                    )
                 name = {
                     "count": "count", "count_distinct": "distinct",
                     "sum": "sum", "min": "min", "max": "max", "avg": "avg",
@@ -881,6 +861,13 @@ def _build_plan(
             raise SqlError("ORDER BY needs rows or GROUP BY")
         names = []
         for it in stmt.items:
+            if it.col is not None and it.col.name != "payload":
+                # same rule as the GROUP BY path (_group_item_names):
+                # aggregates take the payload column
+                raise SqlError(
+                    f"{it.func.upper().replace('_', ' ')} takes "
+                    "payload, not key"
+                )
             names.append(
                 {"count_distinct": "distinct"}.get(it.func, it.func)
             )

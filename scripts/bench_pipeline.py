@@ -166,7 +166,10 @@ def main():
     hot1_pays = jax.device_get(hot1.payloads)[:10].tolist()
     best = results["ordered"][0]
     naive_ms = round(results["naive-resort"][0] * 1e3)
-    del results, g1, g2, hot1, hot2, topq
+    # g/hot still alias the loop's last results and fields1/fields2 hold
+    # g1/g2's five group columns — every reference must go or the HBM
+    # stays pinned
+    del results, g1, g2, hot1, hot2, topq, g, hot, fields1, fields2
     from partitionedhashjoin_tpu.sql import execute_sql, explain_sql
 
     sql = (

@@ -361,6 +361,34 @@ class TestSelectDistinct:
             execute_sql("SELECT DISTINCT payload FROM b", db)
 
 
+class TestAggregateArgValidation:
+    """Review round-5b: SUM(key) etc. must be rejected, not silently
+    compute over payload."""
+
+    def test_scalar_aggregate_key_arg_rejected(self, db):
+        for q in (
+            "SELECT SUM(key) FROM b",
+            "SELECT MIN(key) FROM b",
+            "SELECT COUNT(DISTINCT key) FROM b",
+        ):
+            with pytest.raises(SqlError, match="payload"):
+                execute_sql(q, db)
+
+    def test_having_aggregate_key_arg_rejected(self, db):
+        with pytest.raises(SqlError, match="payload"):
+            execute_sql(
+                "SELECT key FROM b GROUP BY key HAVING SUM(key) > 15", db
+            )
+        # the group KEY itself is still addressable as a plain column
+        bk = np.asarray(db["b"].keys)
+        r = execute_sql(
+            "SELECT key FROM b GROUP BY key HAVING key > 40", db
+        )
+        assert sorted(r.columns["key"].tolist()) == sorted(
+            int(k) for k in np.unique(bk) if k > 40
+        )
+
+
 class TestHaving:
     def _oracle(self, db, keep):
         bk = np.asarray(db["b"].keys)
