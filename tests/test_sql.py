@@ -329,6 +329,33 @@ class TestScalarAggregates:
         assert int(r.sum) == int(np.int32(sel.sum()))
         assert int(r.distinct) == len(set(sel.tolist()))
 
+    def test_aggregate_on_sharded_inputs(self, db):
+        # the docstring claim: reductions jit to collectives on sharded
+        # arrays — run aggregate() over a mesh-sharded relation
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from partitionedhashjoin_tpu.data.table import make_table
+        from partitionedhashjoin_tpu.parallel.mesh import SHARD_AXIS
+        from partitionedhashjoin_tpu.query import scan
+
+        devs = np.array(jax.devices()[:8])
+        if devs.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(devs, (SHARD_AXIS,))
+        n = 4096  # divisible by 8
+        keys = np.arange(n, dtype=np.int32)
+        pays = (np.arange(n, dtype=np.int32) * 7) % 101 - 50
+        sh = NamedSharding(mesh, P(SHARD_AXIS))
+        t = make_table(
+            jax.device_put(keys, sh), jax.device_put(pays, sh)
+        )
+        r = scan(t).filter(lambda k, p: p % 2 == 0).aggregate()
+        sel = pays[pays % 2 == 0]
+        assert int(r.count) == len(sel)
+        assert int(r.sum) == int(np.int32(sel.sum()))
+        assert int(r.min) == sel.min() and int(r.max) == sel.max()
+
 
 class TestSelectDistinct:
     def test_distinct_key(self, db):
