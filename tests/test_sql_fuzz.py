@@ -14,7 +14,7 @@ import pytest
 from partitionedhashjoin_tpu.data.table import make_table
 from partitionedhashjoin_tpu.sql import execute_sql
 
-N_CASES = 40
+N_CASES = 60
 
 
 def _tables(rng):
@@ -110,28 +110,60 @@ def _oracle_groups(rows):
     return out
 
 
+def _rand_having(rng):
+    """(sql_text, keep(count, sum, mn, mx) -> bool) over group columns."""
+    col = int(rng.integers(0, 4))  # count, sum, min, max
+    name = ["count", "sum", "min", "max"][col]
+    spell = rng.integers(0, 2)  # column name vs aggregate-call spelling
+    q = name if spell == 0 else {
+        "count": "COUNT(*)", "sum": "SUM(payload)",
+        "min": "MIN(payload)", "max": "MAX(payload)",
+    }[name]
+    if name == "count":
+        t = int(rng.integers(1, 6))
+    else:
+        t = int(rng.integers(-60, 60))
+    if rng.integers(0, 2):
+        return f"{q} > {t}", lambda row, c=col, t=t: row[c] > t
+    return f"{q} <= {t}", lambda row, c=col, t=t: row[c] <= t
+
+
 def _gen_case(rng):
     case = {
+        "mode": rng.choice(
+            ["rows", "group", "group", "scalar", "distinct"]
+        ),
         "join": rng.choice([None, "inner", "semi", "anti", "left"]),
         "pred_a": None,
         "pred_b": None,
-        "group": bool(rng.integers(0, 2)),
         "carry": "probe",
+        "having": None,
         "order": None,
         "limit": None,
     }
+    case["group"] = case["mode"] == "group"
     qualify = case["join"] is not None
     if rng.integers(0, 2):
         case["pred_b"] = _rand_pred(rng, "b" if qualify else None)
     if qualify and rng.integers(0, 2):
         case["pred_a"] = _rand_pred(rng, "a")
-    if case["join"] in ("inner", "semi", "left") and rng.integers(0, 2):
+    if (
+        case["mode"] in ("group", "scalar")
+        and case["join"] in ("inner", "semi", "left")
+        and rng.integers(0, 2)
+    ):
         case["carry"] = "build"
-    if case["group"]:
+    if case["mode"] == "group":
+        if rng.integers(0, 2):
+            case["having"] = _rand_having(rng)
         case["order"] = rng.choice(["key", "count", "sum"])
         if rng.integers(0, 2):
             case["limit"] = int(rng.integers(1, 6))
-    elif case["join"] is None and rng.integers(0, 2):
+    elif case["mode"] == "distinct":
+        case["order"] = "key"
+        if rng.integers(0, 2):
+            case["limit"] = int(rng.integers(1, 8))
+    elif case["mode"] == "rows" and case["join"] is None and rng.integers(0, 2):
         # join row cases compare via COUNT(*), which takes no ORDER BY
         case["order"] = "key"
     return case
@@ -142,10 +174,17 @@ def _to_sql(case):
         "b.payload" if case["join"] else "payload"
     )
     parts = []
-    if case["group"]:
+    if case["mode"] == "group":
         parts.append(
             f"SELECT key, COUNT(*), SUM({pay}), MIN({pay}), MAX({pay})"
         )
+    elif case["mode"] == "scalar":
+        parts.append(
+            f"SELECT COUNT(*), SUM({pay}), MIN({pay}), MAX({pay}), "
+            f"COUNT(DISTINCT {pay})"
+        )
+    elif case["mode"] == "distinct":
+        parts.append("SELECT DISTINCT key")
     elif case["join"]:
         parts.append("SELECT COUNT(*)")  # rows compared via count + groups
     else:
@@ -157,8 +196,10 @@ def _to_sql(case):
     conds = [c[0] for c in (case["pred_b"], case["pred_a"]) if c]
     if conds:
         parts.append("WHERE " + " AND ".join(conds))
-    if case["group"]:
+    if case["mode"] == "group":
         parts.append("GROUP BY key")
+        if case["having"] is not None:
+            parts.append(f"HAVING {case['having'][0]}")
     if case["order"]:
         parts.append(f"ORDER BY {case['order']} ASC")
     if case["limit"] is not None:
@@ -175,8 +216,29 @@ def test_fuzz_statement(seed):
     rows = _oracle_rows(case, cols)
     r = execute_sql(sql, db)
 
+    if case["mode"] == "scalar":
+        pays = [p for _, p in rows]
+        assert r.row_count == 1
+        assert r.columns["count"][0] == len(pays)
+        assert r.columns["sum"][0] == np.int32(
+            np.sum(pays, dtype=np.int64)
+        ), sql
+        assert r.columns["min"][0] == (min(pays) if pays else 0), sql
+        assert r.columns["max"][0] == (max(pays) if pays else 0), sql
+        assert r.columns["distinct"][0] == len(set(pays)), sql
+        return
+    if case["mode"] == "distinct":
+        want_keys = sorted({k for k, _ in rows})
+        if case["limit"] is not None:
+            want_keys = want_keys[: case["limit"]]
+        assert r.columns["key"].tolist() == want_keys, sql
+        return
+
     if case["group"]:
         want = _oracle_groups(rows)
+        if case["having"] is not None:
+            keep = case["having"][1]
+            want = {k: v for k, v in want.items() if keep(v)}
         # engine returns groups ordered by case["order"] ascending with a
         # deterministic tiebreak; compare as dict (+ the ordered column)
         got = {}
