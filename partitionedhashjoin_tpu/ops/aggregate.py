@@ -53,7 +53,13 @@ class GroupByResult:
     min: jax.Array  # payload-dtype[n] MIN(payload)
     max: jax.Array  # payload-dtype[n] MAX(payload)
     num_groups: jax.Array  # int32 scalar
-    group_of_row: jax.Array  # int32[n] dense group id per input row
+    # int32[n] dense group id per input row for AGGREGATION results
+    # (all -1 on paths that don't track membership).  SELECTION results
+    # (query.group_top_k: order_by/limit/having over a group table)
+    # carry an EMPTY (0-length) group_of_row instead: a k-sized
+    # selection has no row mapping, and a relation-sized -1 array cost
+    # 800 MB of dead HBM per result at 200M rows (round 5).
+    group_of_row: jax.Array
     # COUNT(DISTINCT payload) per group; present only when the sort path
     # ran with ``with_distinct=True`` (payload is the 3rd sort key there, so
     # distinct values are run boundaries — free ordering the hash path lacks)

@@ -82,15 +82,15 @@ def _dist_top_k_masked(mesh: Mesh, keys, pays, valid, k: int, by: str,
         other = pays[0] if by == "key" else keys[0]
         ranked = _order_key(col, not descending)  # larger = better
         invalid = jnp.where(valid[0], 0, 1).astype(jnp.int32)
-        # global row position as the third sort key: rows tied on
-        # (validity, order value) resolve deterministically, so the
+        # row position as a tie-break key: rows tied on (validity, order
+        # value) resolve deterministically by global index, so the
         # carried column follows its row — mirrors _masked_order_impl
-        # and the unmasked lax.top_k path (which breaks ties by index)
+        # and the unmasked lax.top_k path (which breaks ties by index).
+        # Shard id and local position stay SEPARATE sort keys: a fused
+        # shard*n_local+i global position would wrap int32 beyond 2^31
+        # total rows and invert the tie order on high shards.
         n_local = col.shape[0]
-        pos = (
-            jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * n_local
-            + jnp.arange(n_local, dtype=jnp.int32)
-        )
+        pos = jnp.arange(n_local, dtype=jnp.int32)
         inv_s, nrank_s, pos_s, other_s = jax.lax.sort(
             (invalid, ~ranked, pos, other), num_keys=3, is_stable=False
         )
@@ -98,8 +98,11 @@ def _dist_top_k_masked(mesh: Mesh, keys, pays, valid, k: int, by: str,
             jax.lax.all_gather(c[:k], SHARD_AXIS, tiled=True)
             for c in (inv_s, nrank_s, pos_s, other_s)
         )
-        finv, fnrank, _, fother = jax.lax.sort(
-            gath, num_keys=3, is_stable=False
+        ginv, gnrank, gpos, gother = gath
+        shard = jnp.arange(gpos.shape[0], dtype=jnp.int32) // k
+        finv, fnrank, _, _, fother = jax.lax.sort(
+            (ginv, gnrank, shard, gpos, gother),
+            num_keys=4, is_stable=False,
         )
         ranked_out = ~fnrank[:k]
         col_out = ~ranked_out if not descending else ranked_out

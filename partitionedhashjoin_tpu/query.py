@@ -344,7 +344,7 @@ class Query:
         )
         t = inner()
         return _scalar_aggregate(
-            t.keys, t.pays, t.effective_mask(), with_distinct
+            t.pays, t.effective_mask(), with_distinct
         )
 
     def explain(self, mesh=None, interpret: bool = False) -> str:
@@ -777,7 +777,7 @@ def _scalar_agg_impl(pays, mask, with_distinct):
     return cnt, s, mn, mx, d
 
 
-def _scalar_aggregate(keys, pays, mask, with_distinct) -> ScalarAggResult:
+def _scalar_aggregate(pays, mask, with_distinct) -> ScalarAggResult:
     n = pays.shape[0]
     if n == 0:
         z = jnp.zeros((), pays.dtype)

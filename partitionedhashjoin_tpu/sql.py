@@ -715,6 +715,11 @@ def _build_plan(
                     "(cross-table predicates beyond the USING(key) "
                     f"equi-join are not supported): {sorted(refs)}"
                 )
+            if not refs:
+                # column-free (constant) conjunct — valid SQL meaning
+                # the same thing on every row; evaluate it on the FROM
+                # side (side_query broadcasts scalar masks)
+                refs = {stmt.from_alias}
             side_preds[next(iter(refs))].append(conj)
 
     def side_query(alias: str) -> Query:
@@ -724,7 +729,14 @@ def _build_plan(
             node = preds[0]
             for p in preds[1:]:
                 node = _Bin("and", node, p)
-            q = q.filter(_compile_expr(node))
+            expr = _compile_expr(node)
+            # broadcast covers constant (column-free) conjuncts whose
+            # evaluation is a scalar
+            q = q.filter(
+                lambda k, p, _e=expr: jnp.broadcast_to(
+                    jnp.asarray(_e(k, p), jnp.bool_), k.shape
+                )
+            )
         return q
 
     # carried-column side: one payload column flows through joins into
@@ -808,6 +820,8 @@ def _build_plan(
         stmt.having, set()
     ):
         wd = True  # HAVING COUNT(DISTINCT payload) without selecting it
+    if stmt.order_by == "distinct":
+        wd = True  # ORDER BY distinct without selecting it
 
     # LIMIT 0 is valid SQL (an empty result); the fluent layer's limit()
     # wants a positive k, so resolve it here without executing anything
@@ -896,8 +910,16 @@ def _build_plan(
 
 
 def _empty_result(names) -> SqlResult:
+    # dtypes match the non-empty result paths (int32 relations; avg is
+    # the one float column) so LIMIT 0 pages concatenate cleanly
     return SqlResult(
-        {n: np.empty((0,), np.int64) for n in names}, 0
+        {
+            n: np.empty(
+                (0,), np.float32 if n == "avg" else np.int32
+            )
+            for n in names
+        },
+        0,
     )
 
 

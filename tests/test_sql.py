@@ -388,6 +388,60 @@ class TestSelectDistinct:
             execute_sql("SELECT DISTINCT payload FROM b", db)
 
 
+class TestReviewFindingsHigh:
+    """Regressions for the round-5 high-effort review pass."""
+
+    def test_constant_where_conjunct(self, db):
+        n = db["b"].size
+        bp = np.asarray(db["b"].payloads)
+        # constant-true, constant-false, and mixed with a real predicate
+        assert execute_sql(
+            "SELECT COUNT(*) FROM b WHERE 1 = 1", db
+        ).columns["count"][0] == n
+        assert execute_sql(
+            "SELECT COUNT(*) FROM b WHERE 1 = 2", db
+        ).columns["count"][0] == 0
+        assert execute_sql(
+            "SELECT COUNT(*) FROM b WHERE payload > 6 AND 2 > 1", db
+        ).columns["count"][0] == int((bp > 6).sum())
+        # and in a join query (assigned to the FROM side)
+        r = execute_sql(
+            "SELECT COUNT(*) FROM b JOIN a USING (key) WHERE 1 = 1", db
+        )
+        want = execute_sql(
+            "SELECT COUNT(*) FROM b JOIN a USING (key)", db
+        )
+        assert r.columns["count"][0] == want.columns["count"][0]
+
+    def test_order_by_distinct(self, db):
+        bk = np.asarray(db["b"].keys)
+        bp = np.asarray(db["b"].payloads)
+        d = {
+            int(k): len(set(bp[bk == k].tolist())) for k in np.unique(bk)
+        }
+        r = execute_sql(
+            "SELECT key FROM b GROUP BY key ORDER BY distinct DESC "
+            "LIMIT 3", db,
+        )
+        want_top = sorted(d.values(), reverse=True)[:3]
+        got = [d[int(k)] for k in r.columns["key"]]
+        assert got == want_top
+
+    def test_limit_zero_dtypes_match_nonempty(self, db):
+        r0 = execute_sql("SELECT key, payload FROM b LIMIT 0", db)
+        r1 = execute_sql("SELECT key, payload FROM b LIMIT 1", db)
+        for c in r1.columns:
+            assert r0.columns[c].dtype == r1.columns[c].dtype, c
+        g0 = execute_sql(
+            "SELECT key, AVG(payload) FROM b GROUP BY key LIMIT 0", db
+        )
+        g1 = execute_sql(
+            "SELECT key, AVG(payload) FROM b GROUP BY key LIMIT 1", db
+        )
+        for c in g1.columns:
+            assert g0.columns[c].dtype == g1.columns[c].dtype, c
+
+
 class TestAggregateArgValidation:
     """Review round-5b: SUM(key) etc. must be rejected, not silently
     compute over payload."""
