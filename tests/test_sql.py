@@ -649,6 +649,42 @@ class TestReviewFindings:
             )
 
 
+class TestInt64Sql:
+    def test_int64_keys_end_to_end(self):
+        # int64 relations (reference Tuple::id is int64, Table.hpp:20-25):
+        # the dialect inherits the engine's x64 paths unchanged
+        import jax
+
+        with jax.enable_x64(True):
+            rng = np.random.default_rng(7)
+            big = np.int64(1) << 40
+            a = make_table(
+                np.arange(20, dtype=np.int64) + big,
+                np.arange(20, dtype=np.int64) * 3,
+            )
+            bk = rng.integers(0, 30, 200).astype(np.int64) + big
+            b = make_table(bk, rng.integers(-50, 50, 200).astype(np.int64))
+            db = {"a": a, "b": b}
+            hits = int(np.isin(bk, np.asarray(a.keys)).sum())
+            r = execute_sql("SELECT COUNT(*) FROM b JOIN a USING (key)", db)
+            assert r.columns["count"][0] == hits
+            bp = np.asarray(b.payloads)
+            g = execute_sql(
+                "SELECT key, COUNT(*), SUM(payload) FROM b GROUP BY key "
+                "HAVING count > 5 ORDER BY key", db,
+            )
+            assert g.row_count > 0
+            for i, k in enumerate(g.columns["key"]):
+                sel = bp[bk == k]
+                assert len(sel) > 5
+                assert g.columns["sum"][i] == sel.sum()  # exact: int64
+            s = execute_sql(
+                "SELECT SUM(payload), COUNT(DISTINCT payload) FROM b", db
+            )
+            assert s.columns["sum"][0] == bp.sum()
+            assert s.columns["distinct"][0] == len(set(bp.tolist()))
+
+
 class TestExplain:
     def test_explain_shows_rules(self, db):
         txt = explain_sql(
