@@ -19,6 +19,7 @@ whole engine is drivable from a string:
 Dialect (deliberately small, everything lowered onto query.py so every
 physical rewrite rule R1-R7 fires exactly as it does for fluent plans):
 
+    [EXPLAIN]                              -- plan as rows, no execution
     SELECT  * | key | payload | COUNT(*) | COUNT(DISTINCT payload)
             | SUM(payload) | MIN(payload) | MAX(payload) | AVG(payload)
             | DISTINCT key                 -- lowers to GROUP BY key
@@ -86,6 +87,7 @@ _TOKEN_RE = re.compile(
 
 _KEYWORDS = {
     "select", "from", "where", "group", "by", "order", "limit",
+    "explain",
     "join", "inner", "left", "semi", "anti", "full", "using",
     "and", "or", "not", "in", "asc", "desc", "count", "sum",
     "min", "max", "avg", "distinct", "as", "having",
@@ -314,6 +316,7 @@ class _Stmt:
     order_by: Optional[str]
     descending: bool
     limit: Optional[int]
+    explain: bool = False  # EXPLAIN SELECT ...: return the plan as rows
 
 
 #: columns a HAVING expression (and group-stage ORDER BY) may reference
@@ -377,6 +380,7 @@ class _Parser:
     # -- grammar ------------------------------------------------------------
 
     def parse(self) -> _Stmt:
+        self.explain = self.take_kw("explain")
         self.expect_kw("select")
         select_distinct = self.take_kw("distinct")
         items = self.select_list()
@@ -446,6 +450,7 @@ class _Parser:
         return _Stmt(
             tuple(items), select_distinct, from_table, from_alias,
             tuple(joins), where, group_by, having, order_by, desc, limit,
+            explain=self.explain,
         )
 
     def join_type(self) -> Optional[str]:
@@ -1062,9 +1067,41 @@ def execute_sql(
     to relations; ``mesh`` executes on a device mesh (query.py R6);
     ``group_capacity`` bounds the GROUP BY table (a physical knob SQL has
     no syntax for — defaults to the aggregate's own sizing).
+    ``EXPLAIN SELECT ...`` returns the physical plan as a one-column
+    ``plan`` result (one line per operator) without executing anything.
     Raises SqlError on any lex/parse/analysis/plan failure (fluent-layer
     PlanErrors are wrapped, per the module's one-error contract)."""
     stmt = parse_sql(sql)
+    if stmt.explain:
+        from partitionedhashjoin_tpu.query import _compile_count, _Ctx
+
+        try:
+            q, project, _ = _build_plan(stmt, tables, group_capacity)
+            if project == "count":
+                # show the COUNT plan (R1 kernels), not the row plan the
+                # same Query would materialize
+                head = (
+                    f"physical plan [mesh S={int(mesh.devices.size)}]"
+                    if mesh is not None else "physical plan [single device]"
+                )
+                plan = _compile_count(
+                    q._node, _Ctx(mesh=mesh, interpret=interpret)
+                )
+                lines = [head] + [f"  {s}" for s in plan.steps]
+            else:
+                lines = q.explain(
+                    mesh=mesh, interpret=interpret
+                ).splitlines()
+                if isinstance(project, tuple) and project[0] == "scalar":
+                    lines.append(
+                        "  aggregate -> streaming scalar reductions "
+                        "(Query.aggregate)"
+                    )
+        except PlanError as e:
+            raise SqlError(str(e)) from e
+        return SqlResult(
+            {"plan": np.array(lines, dtype=object)}, len(lines)
+        )
     try:
         q, project, is_empty = _build_plan(stmt, tables, group_capacity)
         if is_empty:

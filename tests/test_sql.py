@@ -686,6 +686,25 @@ class TestInt64Sql:
 
 
 class TestExplain:
+    def test_explain_statement_syntax(self, db):
+        r = execute_sql(
+            "EXPLAIN SELECT key, COUNT(*) FROM b JOIN a USING (key) "
+            "GROUP BY key ORDER BY count DESC LIMIT 5", db,
+        )
+        text = "\n".join(r.columns["plan"].tolist())
+        assert "physical plan" in text and r.row_count > 2
+        # count statements show the R1 count plan, not materialization
+        rc = execute_sql(
+            "EXPLAIN SELECT COUNT(*) FROM b JOIN a USING (key)", db
+        )
+        tc = "\n".join(rc.columns["plan"].tolist())
+        assert "count" in tc and "R1" in tc
+        # scalar aggregates note their reduction
+        rs = execute_sql("EXPLAIN SELECT SUM(payload) FROM b", db)
+        assert any(
+            "scalar reductions" in s for s in rs.columns["plan"]
+        )
+
     def test_explain_shows_rules(self, db):
         txt = explain_sql(
             "SELECT key, COUNT(*) FROM b JOIN a USING (key) "
