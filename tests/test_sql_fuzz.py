@@ -207,6 +207,61 @@ def _to_sql(case):
     return " ".join(parts)
 
 
+@pytest.mark.parametrize("seed", range(15))
+def test_fuzz_join_chain(seed):
+    """Left-deep two-join chains: a join OUTPUT feeds the next join
+    (the round-4 prefix_count-validity bug class) under random filters
+    and second-join types."""
+    rng = np.random.default_rng(5000 + seed)
+    db, (a_keys, a_pays, b_keys, b_pays) = _tables(rng)
+    c_keys = rng.permutation(60)[: int(rng.integers(2, 30))].astype(
+        np.int32
+    )
+    db["c"] = make_table(c_keys, c_keys * 7)
+    jt2 = rng.choice(["inner", "semi", "anti", "left"])
+    pred_b = _rand_pred(rng, "b") if rng.integers(0, 2) else None
+    # oracle: join1 (inner, first-match) keeps probe rows with key in a
+    bmask = (
+        pred_b[1](b_keys, b_pays)
+        if pred_b else np.ones(len(b_keys), bool)
+    )
+    mid = [
+        (int(k), int(p))
+        for k, p in zip(b_keys[bmask], b_pays[bmask])
+        if int(k) in set(a_keys.tolist())
+    ]
+    cset = set(c_keys.tolist())
+    if jt2 in ("inner", "semi"):
+        want = sum(1 for k, _ in mid if k in cset)
+    elif jt2 == "anti":
+        want = sum(1 for k, _ in mid if k not in cset)
+    else:  # left
+        want = len(mid)
+    jt_txt = {"inner": ""}.get(jt2, jt2.upper() + " ")
+    where = f" WHERE {pred_b[0]}" if pred_b else ""
+    sql = (
+        f"SELECT COUNT(*) FROM b JOIN a USING (key) "
+        f"{jt_txt}JOIN c USING (key){where}"
+    )
+    r = execute_sql(sql, db)
+    assert r.columns["count"][0] == want, sql
+    # and the grouped form over the chain (inner only: grouped rows)
+    if jt2 == "inner":
+        gsql = (
+            f"SELECT key, COUNT(*) FROM b JOIN a USING (key) "
+            f"JOIN c USING (key){where} GROUP BY key ORDER BY key"
+        )
+        g = execute_sql(gsql, db)
+        counts = {}
+        for k, _ in mid:
+            if k in cset:
+                counts[k] = counts.get(k, 0) + 1
+        got = dict(zip(
+            g.columns["key"].tolist(), g.columns["count"].tolist()
+        ))
+        assert got == counts, gsql
+
+
 @pytest.mark.parametrize("seed", range(N_CASES))
 def test_fuzz_statement(seed):
     rng = np.random.default_rng(1000 + seed)
