@@ -497,6 +497,34 @@ class TestMesh:
         counts = sorted((c for c, *_ in want.values()), reverse=True)[:2]
         assert np.asarray(top.count)[:2].tolist() == counts
 
+    def test_mesh_group_by_having(self, mesh):
+        # HAVING folds into the selection over the REPLICATED distributed
+        # group result — same mask machinery as single-device (round 5)
+        rng = np.random.default_rng(43)
+        b = _t(rng.integers(0, 25, 640), rng.integers(-99, 99, 640))
+        g = (
+            scan(b).group_by().having(lambda g: g.count > 30)
+            .execute(mesh=mesh)
+        )
+        want = {
+            k: v
+            for k, v in _np_group(
+                np.asarray(b.keys), np.asarray(b.payloads)
+            ).items()
+            if v[0] > 30
+        }
+        assert len(want) > 0 and _group_dict(g) == want
+        # and through the SQL surface with an order/limit tail
+        from partitionedhashjoin_tpu.sql import execute_sql
+
+        r = execute_sql(
+            "SELECT key, COUNT(*) FROM b GROUP BY key "
+            "HAVING COUNT(*) > 30 ORDER BY count DESC LIMIT 3",
+            {"b": b}, mesh=mesh,
+        )
+        counts = sorted((c for c, *_ in want.values()), reverse=True)[:3]
+        assert r.columns["count"].tolist() == counts
+
     def test_mesh_join_count(self, mesh):
         rng = np.random.default_rng(43)
         a = _t(rng.integers(0, 50, 64), rng.integers(1, 9, 64))
