@@ -26,7 +26,7 @@ physical rewrite rule R1-R7 fires exactly as it does for fluent plans):
     FROM    t [alias]
             [ [INNER|LEFT|SEMI|ANTI|FULL] JOIN t2 [alias] USING (key) ]*
     [WHERE  <int expressions over key/payload: + - * % // comparisons,
-             AND OR NOT, IN (list), parentheses>]
+             AND OR NOT, IN (list), BETWEEN lo AND hi, parentheses>]
     [GROUP BY key]
     [HAVING <expressions over key/count/sum/min/max/avg/distinct or the
              aggregate-call spellings COUNT(*), SUM(payload), ...>]
@@ -89,7 +89,7 @@ _KEYWORDS = {
     "select", "from", "where", "group", "by", "order", "limit",
     "explain",
     "join", "inner", "left", "semi", "anti", "full", "using",
-    "and", "or", "not", "in", "asc", "desc", "count", "sum",
+    "and", "or", "not", "in", "between", "asc", "desc", "count", "sum",
     "min", "max", "avg", "distinct", "as", "having",
 }
 
@@ -563,15 +563,27 @@ class _Parser:
             self.next()
             return _Bin(t.text, node, self.add_expr())
         if self.at_kw("not"):
-            # x NOT IN (...)
+            # x NOT IN (...) | x NOT BETWEEN lo AND hi
             save = self.i
             self.next()
             if self.take_kw("in"):
                 return self.in_list(node, negated=True)
+            if self.take_kw("between"):
+                return _Not(self.between_tail(node))
             self.i = save
         if self.take_kw("in"):
             return self.in_list(node, negated=False)
+        if self.take_kw("between"):
+            return self.between_tail(node)
         return node
+
+    def between_tail(self, node):
+        # BETWEEN binds tighter than AND: the bounds are add-exprs, the
+        # separating AND belongs to the BETWEEN, not the conjunction
+        lo = self.add_expr()
+        self.expect_kw("and")
+        hi = self.add_expr()
+        return _Bin("and", _Bin(">=", node, lo), _Bin("<=", node, hi))
 
     def in_list(self, node, negated: bool):
         self.expect_op("(")

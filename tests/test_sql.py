@@ -89,6 +89,11 @@ class TestRowQueries:
             ("(key + payload) * 2 > 50", (bk + bp) * 2 > 50),
             ("payload // 10 = -3", bp // 10 == -3),
             ("-payload > 20 AND key <> 7", (-bp > 20) & (bk != 7)),
+            ("payload BETWEEN -10 AND 10", (bp >= -10) & (bp <= 10)),
+            # BETWEEN binds tighter than the conjunction AND
+            ("key BETWEEN 5 AND 20 AND payload > 0",
+             (bk >= 5) & (bk <= 20) & (bp > 0)),
+            ("payload NOT BETWEEN -10 AND 10", ~((bp >= -10) & (bp <= 10))),
         ]
         for cond, want_mask in cases:
             r = execute_sql(f"SELECT key FROM b WHERE {cond}", db)

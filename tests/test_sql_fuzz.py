@@ -14,7 +14,7 @@ import pytest
 from partitionedhashjoin_tpu.data.table import make_table
 from partitionedhashjoin_tpu.sql import execute_sql
 
-N_CASES = 60
+N_CASES = 80
 
 
 def _tables(rng):
@@ -34,7 +34,7 @@ def _rand_pred(rng, alias):
     """(sql_text, numpy_fn(keys, pays) -> mask)"""
     col = rng.choice(["key", "payload"])
     q = f"{alias}.{col}" if alias else col
-    kind = rng.integers(0, 4)
+    kind = rng.integers(0, 5)
     if kind == 0:
         m = int(rng.integers(2, 5))
         r = int(rng.integers(0, m))
@@ -55,10 +55,18 @@ def _rand_pred(rng, alias):
             f"{q} IN ({txt})",
             lambda k, p: np.isin(k if col == "key" else p, vals),
         )
-    t = int(rng.integers(-20, 20))
+    if kind == 3:
+        t = int(rng.integers(-20, 20))
+        return (
+            f"NOT {q} < {t}",
+            lambda k, p: ~((k if col == "key" else p) < t),
+        )
+    lo = int(rng.integers(-30, 20))
+    hi = lo + int(rng.integers(0, 30))
     return (
-        f"NOT {q} < {t}",
-        lambda k, p: ~((k if col == "key" else p) < t),
+        f"{q} BETWEEN {lo} AND {hi}",
+        lambda k, p: ((k if col == "key" else p) >= lo)
+        & ((k if col == "key" else p) <= hi),
     )
 
 
