@@ -726,6 +726,82 @@ class TestExplain:
         assert "limit 7" in txt
 
 
+class TestShellEntry:
+    """argv-level tests of python -m partitionedhashjoin_tpu.sql."""
+
+    def test_count_over_generated(self, capsys):
+        from partitionedhashjoin_tpu.sql import main
+
+        rc = main([
+            "--table", "b=sequential:100",
+            "SELECT COUNT(*) FROM b WHERE key <= 40",
+        ])
+        out = capsys.readouterr().out.splitlines()
+        assert rc == 0
+        assert out[0] == "count" and out[1] == "40"  # keys start at 1
+
+    def test_join_over_specs(self, capsys):
+        from partitionedhashjoin_tpu.sql import main
+
+        rc = main([
+            "--table", "a=sequential:50",
+            "--table", "b=uniform:300:1:50:7",
+            "SELECT COUNT(*) FROM b JOIN a USING (key)",
+        ])
+        out = capsys.readouterr().out.splitlines()
+        assert rc == 0 and out[1] == "300"  # uniform [1,50] all match
+
+    def test_explain_flag_and_statement(self, capsys):
+        from partitionedhashjoin_tpu.sql import main
+
+        rc = main([
+            "--table", "b=sequential:64", "--explain",
+            "SELECT key FROM b ORDER BY key DESC LIMIT 3",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0 and "physical plan" in out
+        rc = main([
+            "--table", "b=sequential:64",
+            "EXPLAIN SELECT COUNT(*) FROM b",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0 and "plan" in out and "R1" in out
+
+    def test_max_rows_truncation(self, capsys):
+        from partitionedhashjoin_tpu.sql import main
+
+        rc = main([
+            "--table", "b=sequential:40", "--max-rows", "5",
+            "SELECT * FROM b",
+        ])
+        out = capsys.readouterr().out
+        assert rc == 0 and "... (40 rows total)" in out
+
+    def test_mesh_flag(self, capsys):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from partitionedhashjoin_tpu.sql import main
+
+        rc = main([
+            "--table", "a=sequential:64",
+            "--table", "b=zipf:512:1.05:1:64:3",
+            "--mesh", "8",
+            "SELECT COUNT(*) FROM b JOIN a USING (key)",
+        ])
+        out = capsys.readouterr().out.splitlines()
+        assert rc == 0 and out[1] == "512"
+
+    def test_bad_table_spec(self):
+        from partitionedhashjoin_tpu.sql import SqlError, main
+
+        with pytest.raises(SqlError, match="table spec"):
+            main(["--table", "b=nonsense:5", "SELECT * FROM b"])
+        with pytest.raises(SystemExit):
+            main(["--table", "justaname", "SELECT * FROM b"])
+
+
 class TestMeshSql:
     def test_mesh_count_and_topk(self, db):
         import jax
